@@ -1,0 +1,70 @@
+"""Precision / device configuration.
+
+TPU v5e has no native float64: complex128 fails to compile (verified on this
+hardware), while complex64 eigh/expm/matmul all work.  Therefore:
+
+- On CPU (tests, golden validation, the driver's virtual-mesh dry runs) we
+  enable JAX x64 and default to complex128, matching the reference's accuracy
+  envelope (ACE writes doubles; reference kernels are complex*16,
+  /root/reference/pyaceqd/two_time/propagate_tau.f90).
+- On TPU we default to complex64 and keep all hot-loop math in single
+  precision, which is what the MXU natively supports.
+
+Override with env ``PYACEQD_TPU_PRECISION=single|double`` or
+:func:`set_precision` (call before building any simulation).
+"""
+
+import os
+
+import jax
+import numpy as np
+
+
+def _detect_backend() -> str:
+    try:
+        return jax.default_backend()
+    except Exception:
+        return "cpu"
+
+
+_PRECISION = None  # "single" | "double"
+
+
+def _init_precision():
+    global _PRECISION
+    if _PRECISION is not None:
+        return
+    env = os.environ.get("PYACEQD_TPU_PRECISION", "").strip().lower()
+    if env in ("single", "double"):
+        prec = env
+    else:
+        prec = "double" if _detect_backend() == "cpu" else "single"
+    set_precision(prec)
+
+
+def set_precision(prec: str):
+    """Set global precision: "double" (complex128, CPU) or "single" (complex64, TPU)."""
+    global _PRECISION
+    if prec not in ("single", "double"):
+        raise ValueError("precision must be 'single' or 'double'")
+    _PRECISION = prec
+    if prec == "double":
+        jax.config.update("jax_enable_x64", True)
+
+
+def precision() -> str:
+    _init_precision()
+    return _PRECISION
+
+
+def cdtype():
+    """Complex dtype for on-device simulation state."""
+    return np.complex128 if precision() == "double" else np.complex64
+
+
+def rdtype():
+    """Real dtype matching :func:`cdtype`."""
+    return np.float64 if precision() == "double" else np.float32
+
+
+_init_precision()
