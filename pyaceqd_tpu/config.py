@@ -65,6 +65,3 @@ def cdtype():
 def rdtype():
     """Real dtype matching :func:`cdtype`."""
     return np.float64 if precision() == "double" else np.float32
-
-
-_init_precision()

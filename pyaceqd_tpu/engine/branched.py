@@ -1,0 +1,168 @@
+"""Batched multi-time branch propagation: trunk + vmapped branches.
+
+This module replaces the reference's correlation fan-out
+(ThreadPoolExecutor over t1 grid points, one full ACE subprocess per point,
+/root/reference/pyaceqd/two_time/correlations.py:135-184) with the
+quantum-regression-theorem structure made explicit on device:
+
+  1. ``trunk``: one scan propagates rho(t) over the full grid, storing the
+     trajectory (and, with phonons, the PT bond state).
+  2. ``branches``: for every insertion time t1 (a *traced* grid index), apply
+     the multi-time operators to rho(t1) and propagate n_tau further steps.
+     All branches run as ONE vmapped scan — the step unitaries U are shared
+     and each branch reads its window U[k1:k1+n_tau] by dynamic slice.
+
+Total work is n + B*n_tau steps (the same as the reference's optimized
+Fortran path, propagate_tau.f90:110-187) but executed as a single batched
+device program: the B-axis is the vectorization axis that maps onto the
+VPU/MXU lanes, and — for sweeps — onto the device mesh.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyaceqd_tpu import config
+from pyaceqd_tpu.engine.simulate import Task, mto_superop
+from pyaceqd_tpu.ops import superop
+from pyaceqd_tpu.ops.dsl import parse_operator
+
+
+def _sys_step(rho, Uk, E_half, d, has_diss):
+    if has_diss:
+        rho = E_half @ rho
+    rho = (Uk @ rho.reshape(d, d) @ jnp.conj(Uk).T).reshape(d * d)
+    if has_diss:
+        rho = E_half @ rho
+    return rho
+
+
+@partial(jax.jit, static_argnames=("has_diss",))
+def trunk_trajectory(U, E_half, rho0_vec, has_diss=True):
+    """Propagate the full grid once, returning rho at every grid point.
+
+    Returns (n+1, d^2): row k is vec(rho(t_k))."""
+    d = U.shape[1]
+
+    def body(rho, Uk):
+        rho_next = _sys_step(rho, Uk, E_half, d, has_diss)
+        return rho_next, rho_next
+
+    _, traj = jax.lax.scan(body, rho0_vec, U)
+    return jnp.concatenate([rho0_vec[None], traj], axis=0)
+
+
+@partial(jax.jit, static_argnames=("n_tau", "has_diss"))
+def branch_outputs(U, E_half, rho_traj, t1_ks, S_branch, W_tau, W_zero,
+                   n_tau, has_diss=True):
+    """Vmapped branch propagation.
+
+    Args:
+      U: (n, d, d) step unitaries covering max(t1) + n_tau steps.
+      rho_traj: (n+1, d^2) trunk trajectory.
+      t1_ks: (B,) int32 grid indices of the insertion times.
+      S_branch: (d^2, d^2) composed branch-MTO superoperator (applied at t1,
+        AFTER the t1 output, matching ACE applyBefore=false).
+      W_tau: (m, d^2) output weights read at t1+dt ... t1+n_tau*dt.
+      W_zero: (m0, d^2) weights for the tau=0 column, read at t1 (pre-MTO) —
+        the reference's extra product output operator
+        (correlations.py:87,130: "tau=0 has to be extracted separately").
+
+    Returns:
+      G0: (B, m0) tau=0 values; Gtau: (B, n_tau, m) branch outputs.
+    """
+    d = U.shape[1]
+
+    def one_branch(k):
+        zero = jnp.zeros((), dtype=k.dtype)
+        rho_b = S_branch @ rho_traj[k]
+        U_win = jax.lax.dynamic_slice(U, (k, zero, zero), (n_tau, d, d))
+
+        def body(rho, Uk):
+            rho = _sys_step(rho, Uk, E_half, d, has_diss)
+            return rho, W_tau @ rho
+
+        _, ys = jax.lax.scan(body, rho_b, U_win)
+        return ys
+
+    Gtau = jax.vmap(one_branch)(t1_ks)
+    G0 = rho_traj[t1_ks] @ W_zero.T
+    return G0, Gtau
+
+
+def compose_branch_superop(mtos, dim):
+    """Compose branch multi-time operators in parameter-file order: the first
+    listed is applied first (ACE equal-time semantics, see
+    /root/reference/pyaceqd/timebin/twophoton.py:346-363 discussion)."""
+    S = np.eye(dim * dim, dtype=np.complex128)
+    for m in mtos:
+        S = mto_superop(m) @ S
+    return S
+
+
+def correlation_2d(task: Task, t_axis, branch_mtos, output_op, zero_op,
+                   tau_max, trunk_mtos=()):
+    """G(t1, tau) for generic operator insertions at t1 (QRT fan-out).
+
+    Drop-in engine for the reference's _ops_two_time
+    (correlations.py:135-184): branch_mtos are applied at each t1 (times in
+    the dicts are ignored), output_op is read along tau, zero_op gives the
+    tau=0 column.  trunk_mtos (fixed absolute times) are applied on the trunk,
+    enabling five_op_two_time-style correlators.
+
+    Returns (t1, tau, G) with G complex (len(t1), n_tau+1).
+    """
+    dt = task.dt
+    d = task.dim
+    cdt = config.cdtype()
+    n_tau = int(round(tau_max / dt))
+    tau = np.linspace(0, tau_max, n_tau + 1)
+    t1_ks = task.k_of(t_axis)
+    if np.max(t1_ks) + n_tau > len(task.t) - 1:
+        raise ValueError(
+            "Task grid too short: needs t_end >= max(t_axis) + tau_max "
+            f"({task.t[-1]} < {np.max(np.asarray(t_axis)) + tau_max})")
+
+    # trunk with fixed-time MTOs folded in
+    if trunk_mtos:
+        from pyaceqd_tpu.engine import propagator
+        sops = jnp.asarray(np.stack([mto_superop(m) for m in trunk_mtos]), dtype=cdt)
+        ks = jnp.asarray(task.k_of([m["time"] for m in trunk_mtos]))
+        before = tuple(str(m.get("applyBefore", "false")).lower() == "true" for m in trunk_mtos)
+        # reuse propagate with identity outputs to collect the trajectory
+        eye_W = jnp.eye(d * d, dtype=cdt)
+        outputs, _ = propagator.propagate(
+            task.U, task.E_half, task.rho0_vec, eye_W, sops, ks,
+            mto_before=before, mto_mode=tuple(m["applyFrom"] for m in trunk_mtos),
+            collect_E=False, has_diss=task.has_diss)
+        rho_traj = outputs  # (n+1, d^2); W=identity so outputs == rho, but the
+        # k-th row is PRE-mto at step k; branch start must be post-trunk-mto.
+        # propagate() outputs pre-(applyBefore=false)-MTO values; rebuild the
+        # post-MTO trajectory by reapplying at the fixed indices:
+        rho_traj = np.array(rho_traj)
+        for m in trunk_mtos:
+            if str(m.get("applyBefore", "false")).lower() == "true":
+                continue
+            k = int(task.k_of(m["time"]))
+            S = mto_superop(m)
+            rho_traj[k] = S @ rho_traj[k]
+        rho_traj = jnp.asarray(rho_traj, dtype=cdt)
+    else:
+        rho_traj = trunk_trajectory(task.U, task.E_half, task.rho0_vec,
+                                    has_diss=task.has_diss)
+
+    S_branch = jnp.asarray(compose_branch_superop(branch_mtos, d), dtype=cdt)
+    O_tau = output_op if not isinstance(output_op, str) else parse_operator(output_op)
+    O_zero = zero_op if not isinstance(zero_op, str) else parse_operator(zero_op)
+    W_tau = jnp.asarray(superop.trace_vector(O_tau)[None], dtype=cdt)
+    W_zero = jnp.asarray(superop.trace_vector(O_zero)[None], dtype=cdt)
+
+    G0, Gtau = branch_outputs(task.U, task.E_half, rho_traj,
+                              jnp.asarray(t1_ks), S_branch, W_tau, W_zero,
+                              n_tau, has_diss=task.has_diss)
+    G = np.empty((len(t1_ks), n_tau + 1), dtype=complex)
+    G[:, 0] = np.asarray(G0)[:, 0]
+    G[:, 1:] = np.asarray(Gtau)[:, :, 0]
+    return np.asarray(t_axis), tau, G

@@ -1,0 +1,163 @@
+"""Dynamical-map algebra on device: map-chain propagation, time-local map
+extraction, binary-power skipping, and map-based correlation kernels.
+
+This subsumes both of the reference's Fortran/OpenMP/BLAS modules:
+
+- propagate_tau.f90 (zgemv chains of d^2 x d^2 maps over tau, OpenMP over the
+  t grid: propagate_tau/calc_onetime_parallel/calc_onetime_parallel_block/
+  calc_twotime_phonon_block)
+- the pure-python map loops in tools.py:567-675
+
+as batched lax.scan / vmap programs: the tau axis is the scan (a strict
+recurrence), the t1 axis is the vmapped batch that fills the TPU lanes.
+Binary-power skipping (twophoton_new.py:599-613, timebin_tl.f90:23-47) becomes
+an O(log n) squaring chain of d^2 x d^2 matmuls on the MXU.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyaceqd_tpu import config
+
+
+@jax.jit
+def propagate_maps(maps, rho0_vec):
+    """rho_{k+1} = maps[k] rho_k; returns trajectory (len(maps)+1, d^2)."""
+    def body(rho, M):
+        rho = M @ rho
+        return rho, rho
+    _, traj = jax.lax.scan(body, rho0_vec, maps)
+    return jnp.concatenate([rho0_vec[None], traj], axis=0)
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def propagate_stationary(tl_map, rho0_vec, n_steps):
+    """rho_k = tl_map^k rho_0, k=1..n_steps; returns (n_steps, d^2)."""
+    def body(rho, _):
+        rho = tl_map @ rho
+        return rho, rho
+    _, traj = jax.lax.scan(body, rho0_vec, None, length=n_steps)
+    return traj
+
+
+def matrix_power_traced(M, n):
+    """M^n for a traced non-negative integer n via binary exponentiation
+    (log2(n_max) squarings; the skip-ahead of timebin_tl.f90 fast_propagate)."""
+    n = jnp.asarray(n, dtype=jnp.int32)
+    d2 = M.shape[0]
+
+    def body(carry, _):
+        result, base, k = carry
+        result = jnp.where(k & 1, base @ result, result)
+        base = base @ base
+        return (result, base, k >> 1), None
+
+    n_bits = 32
+    (result, _, _), _ = jax.lax.scan(
+        body, (jnp.eye(d2, dtype=M.dtype), M, n), None, length=n_bits)
+    return result
+
+
+@jax.jit
+def calc_tl_dynmap(dm, rcond=1e-12):
+    """Time-local maps from accumulated maps, batched on device.
+
+    dm[i] = E(t_{i+1}, t_0);  out[i] = E(t_{i+1}, t_i) = dm[i] @ pinv(dm[i-1]).
+    Device version of tools.calc_tl_dynmap_pseudo (reference tools.py:446-484):
+    one batched SVD-pinv + one batched matmul instead of a Python loop."""
+    inv_prev = jnp.linalg.pinv(dm[:-1], rcond=rcond)
+    rest = jnp.einsum('nij,njk->nik', dm[1:], inv_prev)
+    return jnp.concatenate([dm[:1], rest], axis=0)
+
+
+@partial(jax.jit, static_argnames=("n_tau",))
+def map_trunk_and_branches(maps, rho0_vec, t1_ks, S_branch, W_tau, W_zero, n_tau):
+    """Map-chain analogue of engine.branched: trunk through per-step maps,
+    branches start at traced indices t1_ks with S_branch applied, propagate
+    n_tau further map steps, reading out W_tau.
+
+    Replaces propagate_tau.f90::calc_onetime_parallel (reference
+    two_time/correlations.py:534,782): OpenMP-over-t1 becomes vmap-over-t1.
+
+    Returns (G0 (B, m0), Gtau (B, n_tau, m))."""
+    traj = propagate_maps(maps, rho0_vec)
+
+    def one_branch(k):
+        zero = jnp.zeros((), dtype=k.dtype)
+        rho_b = S_branch @ traj[k]
+        win = jax.lax.dynamic_slice(
+            maps, (k, zero, zero), (n_tau, maps.shape[1], maps.shape[2]))
+
+        def body(rho, M):
+            rho = M @ rho
+            return rho, W_tau @ rho
+
+        _, ys = jax.lax.scan(body, rho_b, win)
+        return ys
+
+    Gtau = jax.vmap(one_branch)(t1_ks)
+    G0 = traj[t1_ks] @ W_zero.T
+    return G0, Gtau
+
+
+@partial(jax.jit, static_argnames=("n_tau",))
+def stationary_branches(tl_map, rho_t1s, S_branch, W_tau, n_tau):
+    """Branches that all propagate with ONE stationary map (QRT beyond the
+    memory time; reference correlations.py:840-860 np.linalg.matrix_power path).
+
+    rho_t1s: (B, d^2) trunk states at the insertion times.
+    Returns (B, n_tau, m)."""
+    def one_branch(rho):
+        rho_b = S_branch @ rho
+
+        def body(r, _):
+            r = tl_map @ r
+            return r, W_tau @ r
+
+        _, ys = jax.lax.scan(body, rho_b, None, length=n_tau)
+        return ys
+
+    return jax.vmap(one_branch)(rho_t1s)
+
+
+@partial(jax.jit, static_argnames=("n_tau", "n_mem"))
+def block_branches(block_maps, tl_map2, rho_t1s, n_tau, n_mem):
+    """Branches that first run through a per-branch map *block* (the
+    MTO-dependent within-memory maps) and then continue with a stationary map.
+
+    Replaces propagate_tau.f90::calc_twotime_phonon_block (reference
+    two_time/purity.py:709-711): block_maps (B, n_mem, d^2, d^2) already
+    include the MTO at step 0, rho_t1s (B, d^2) are PRE-MTO trunk states.
+
+    Returns (B, n_tau, d^2): the branch state after 1..n_tau steps."""
+    def one_branch(blocks, rho):
+        def body_block(r, M):
+            r = M @ r
+            return r, r
+        r_mem, traj_mem = jax.lax.scan(body_block, rho, blocks)
+
+        def body_tl(r, _):
+            r = tl_map2 @ r
+            return r, r
+        _, traj_tl = jax.lax.scan(body_tl, r_mem, None, length=n_tau - n_mem)
+        return jnp.concatenate([traj_mem, traj_tl], axis=0)
+
+    return jax.vmap(one_branch)(block_maps, rho_t1s)
+
+
+def extract_dms_device(dm_tl, times, tau_c, t_MTOs):
+    """Device-friendly extract_dms (reference tools.py:486-545): returns the
+    stationary map and the within-memory blocks as stacked arrays."""
+    times = np.asarray(times)
+    i_timelocal = int(np.where(times > times[0] + tau_c)[0][0])
+    blocks = [np.asarray(dm_tl[:i_timelocal])]
+    for t_MTO in t_MTOs:
+        hits = np.where(times == t_MTO)[0]
+        if len(hits) == 0:
+            raise ValueError(f"t_MTO {t_MTO} not found in times array.")
+        i = int(hits[0])
+        blocks.append(np.asarray(dm_tl[i:i + i_timelocal]))
+    return np.asarray(dm_tl[i_timelocal]), blocks

@@ -1,0 +1,267 @@
+"""In-process simulation funnel: the TPU-native equivalent of the reference's
+``system_ace_stream`` (/root/reference/pyaceqd/general_system/general_system.py:128-360).
+
+Every simulation in the framework goes through :func:`simulate`.  Instead of
+writing a parameter file, shelling out to the ACE binary and parsing its
+output file, the operator strings are parsed once, the propagation is compiled
+to a single lax.scan on device, and results come back as arrays:
+
+    result[0]   = t  (complex, for parity with read_result)
+    result[1+i] = <output_ops[i]>(t)
+
+Execution modes (mirroring the four modes of the reference driver):
+  - default: propagate, return result
+  - dressedstates=True: instantaneous eigen-decomposition of H(t)
+    (replaces the ``timedep_eigenstates`` binary, general_system.py:297-304)
+  - print_H=True: return the static Hamiltonian matrix
+    (replaces the ``print_H`` binary, general_system.py:305-312)
+  - calc_dynmap=True: additionally return accumulated dynamical maps
+    E(t_{i+1}, t_0) of shape (n_t-1, d^2, d^2)
+    (replaces the ACEutils pybind DynamicalMap path, general_system.py:313-336)
+  - get_M_t=t: return the one-step propagator superoperator at time t
+    (replaces FreePropagator.update/M, general_system.py:325-327)
+
+Phonons (phonons=True) route the same scan through the process-tensor MPO
+engine (pyaceqd_tpu.engine.ptmpo), with the PT cached on disk keyed by
+(prefix, ae, temperature, threshold, t_mem, dt) exactly like the reference's
+PT files (general_system.py:146-151).
+"""
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from pyaceqd_tpu import config, constants
+from pyaceqd_tpu.engine import hamiltonian as ham
+from pyaceqd_tpu.engine import propagator
+from pyaceqd_tpu.ops import superop
+from pyaceqd_tpu.ops.dsl import parse_operator
+
+hbar = constants.hbar
+
+
+def check_multitime(multitime_op, verbose=False):
+    """Normalize an MTO dict (reference general_system.py:29-53 semantics):
+    {"operator": str|matrix, "time": float, "applyFrom": ""|"_left"|"_right",
+    "applyBefore": "false"|"true"|bool}."""
+    if verbose:
+        print("multitime operator: {}".format(multitime_op))
+    if multitime_op is None:
+        return None
+    if "operator" not in multitime_op or "time" not in multitime_op:
+        raise ValueError("supply 'operator' and 'time' for multitime")
+    multitime_op.setdefault("applyFrom", "")
+    multitime_op.setdefault("applyBefore", "false")
+    if multitime_op["applyFrom"] not in ("", "_left", "_right"):
+        raise ValueError('give "_left" or "_right" or "" for multitime')
+    return multitime_op
+
+
+def mto_superop(mto):
+    """Superoperator for one multi-time operator."""
+    O = mto["operator"]
+    O = parse_operator(O) if isinstance(O, str) else np.asarray(O, dtype=np.complex128)
+    mode = mto["applyFrom"]
+    if mode == "":
+        return superop.sandwich(O)
+    if mode == "_left":
+        return superop.left_mult(O)
+    return superop.right_mult(O)
+
+
+def _apply_before(mto):
+    v = mto.get("applyBefore", "false")
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() == "true"
+
+
+def time_grid(t_start, t_end, dt):
+    n = int(round((t_end - t_start) / dt))
+    return t_start + dt * np.arange(n + 1), n
+
+
+@dataclass
+class Task:
+    """A fully-compiled simulation setup, reusable across many branch runs.
+
+    This is the TPU-native analogue of the reference's shared pulse files +
+    PT file reused across a ThreadPool fan-out (general_system.py:214-224,
+    two_time/correlations.py:152-170): build the step propagators once, then
+    vmap branch propagations with different multi-time-operator insertion
+    indices over them.
+    """
+    dim: int
+    t: np.ndarray                 # grid, length n+1
+    dt: float
+    U: Any                        # (n, d, d) step unitaries (device)
+    E_half: Any                   # (d^2, d^2) dissipator half step (device)
+    has_diss: bool
+    rho0_vec: Any                 # (d^2,) device
+    W: Any                        # (n_out, d^2) output weights (device)
+    spec: Any                     # the SystemSpec (host matrices)
+    pt: Optional[Any] = None      # process tensor (phonons) or None
+
+    def k_of(self, t_query):
+        """Grid index of time(s) t_query."""
+        return np.asarray(np.round((np.asarray(t_query) - self.t[0]) / self.dt)).astype(np.int32)
+
+
+def _load_field_file(path, t):
+    """Read an ACE-format pulse file (t re im) and interpolate onto t."""
+    data = np.genfromtxt(path)
+    return np.interp(t, data[:, 0], data[:, 1]) + 1j * np.interp(t, data[:, 0], data[:, 2])
+
+
+def simulate(t_start, t_end, *pulses, dt=0.1, phonons=False, t_mem=20.48, ae=3.0,
+             temperature=1, verbose=False, temp_dir=None, pt_file=None, suffix="",
+             multitime_op=None, pulse_file_x=None, pulse_file_y=None, system_prefix="",
+             threshold="10", threshold_ratio="0.3", buffer_blocksize="-1",
+             dict_zero="16", precision="12", boson_e_max=7,
+             system_op=None, boson_op=None, initial=None, lindblad_ops=None,
+             interaction_ops=None, output_ops=(), prepare_only=False, LO_params=None,
+             dressedstates=False, rf_op=None, rf_file=None, firstonly=False,
+             J_to_file=None, J_file=None, factor_ah=None, use_infinite=False,
+             print_H=False, calc_dynmap=False, rho0=None, get_M_t=None,
+             return_task=False, **_ignored):
+    """Run one open-quantum-system simulation fully in-process.
+
+    Accepts the full keyword surface of the reference's system_ace_stream so
+    the system builders translate 1:1; file/temp-dir bookkeeping parameters
+    are honored where meaningful (pulse files are read if given) and otherwise
+    ignored — there are no temp files to clean up.
+    """
+    if multitime_op is not None:
+        if isinstance(multitime_op, dict):
+            multitime_op = [multitime_op]
+        multitime_op = [check_multitime(dict(m), verbose) for m in multitime_op]
+    else:
+        multitime_op = []
+
+    spec, rf_matrix = ham.build_system(
+        system_op=system_op, lindblad_ops=lindblad_ops, interaction_ops=interaction_ops,
+        initial=initial, rho0=rho0, output_ops=output_ops, rf_op=rf_op,
+        LO_params=LO_params, boson_op=boson_op)
+    d = spec.dim
+    cdt = config.cdtype()
+
+    if print_H:
+        return spec.H0.copy()
+
+    t, n = time_grid(t_start, t_end, dt)
+
+    if prepare_only:
+        return [np.array([0, 0]) for _ in range(1 + len(output_ops))]
+
+    # ---- drive fields ------------------------------------------------------
+    def fields_at(tq):
+        f_x, f_y, f_rf = ham.sample_fields(pulses, tq, rf_matrix=rf_matrix,
+                                           firstonly=firstonly)
+        if pulse_file_x is not None:
+            f_x = (_load_field_file(pulse_file_x, tq)
+                   if isinstance(pulse_file_x, str) else np.interp(tq, *pulse_file_x[:2]) if isinstance(pulse_file_x, tuple)
+                   else np.asarray(pulse_file_x))
+        if pulse_file_y is not None:
+            f_y = _load_field_file(pulse_file_y, tq) if isinstance(pulse_file_y, str) else np.asarray(pulse_file_y)
+        if rf_matrix is not None and rf_file is not None:
+            f_rf = _load_field_file(rf_file, tq) if isinstance(rf_file, str) else np.asarray(rf_file)
+        cols = {0: f_x, 1: f_y, 2: f_rf}
+        n_c = len(spec.couplings)
+        F = np.zeros((len(tq), n_c), dtype=complex)
+        for i, pol in enumerate(spec.pol_index):
+            F[:, i] = cols[pol]
+        return F
+
+    if dressedstates:
+        F_grid = fields_at(t)
+        w, V = propagator.dressed_eigh(spec.H0, spec.couplings, F_grid)
+        w = np.asarray(w)
+        V = np.asarray(V)
+        out = np.zeros((1 + d + d * d, len(t)), dtype=complex)
+        out[0] = t
+        for i in range(d):
+            out[1 + i] = w[:, i]
+        for i in range(d):
+            for j in range(d):
+                # row = j-th component of the i-th eigenvector
+                out[1 + d + i * d + j] = V[:, j, i]
+        return out
+
+    t_mid = t[:-1] + 0.5 * dt
+    F_mid = fields_at(t_mid)
+
+    if get_M_t is not None:
+        # one-step propagator superoperator at time get_M_t (FreePropagator.M)
+        F1 = fields_at(np.array([get_M_t + 0.5 * dt]))
+        U = np.asarray(propagator.step_unitaries(spec.H0, spec.couplings, F1, dt))[0]
+        M = np.kron(U, U.conj())
+        if spec.diss_sop is not None:
+            E_half = propagator.dissipator_half_step(spec.diss_sop, dt)
+            M = E_half @ M @ E_half
+        return M
+
+    # ---- compile + run -----------------------------------------------------
+    U = propagator.step_unitaries(spec.H0, spec.couplings, F_mid, dt)
+    has_diss = spec.diss_sop is not None
+    E_half = (jnp.asarray(propagator.dissipator_half_step(spec.diss_sop, dt), dtype=cdt)
+              if has_diss else jnp.eye(d * d, dtype=cdt))
+    rho0_vec = jnp.asarray(spec.rho0.reshape(-1), dtype=cdt)
+    W = jnp.asarray(np.stack([superop.trace_vector(O) for O in spec.output_mats])
+                    if spec.output_mats else np.zeros((0, d * d)), dtype=cdt)
+
+    if return_task:
+        pt = None
+        if phonons:
+            from pyaceqd_tpu.engine import ptmpo
+            pt = ptmpo.get_process_tensor(
+                boson_op=spec.boson_coupling, dt=dt, t_mem=t_mem, ae=ae,
+                temperature=temperature, threshold=threshold,
+                use_infinite=use_infinite, J_file=J_file, factor_ah=factor_ah,
+                boson_e_max=boson_e_max, system_prefix=system_prefix,
+                pt_file=pt_file, temp_dir=temp_dir, verbose=verbose)
+        return Task(dim=d, t=t, dt=dt, U=U, E_half=E_half, has_diss=has_diss,
+                    rho0_vec=rho0_vec, W=W, spec=spec, pt=pt)
+
+    n_mto = len(multitime_op)
+    if n_mto:
+        sops = np.stack([mto_superop(m) for m in multitime_op])
+        ks = np.array([int(round((m["time"] - t_start) / dt)) for m in multitime_op],
+                      dtype=np.int32)
+        before = tuple(_apply_before(m) for m in multitime_op)
+        modes = tuple(m["applyFrom"] for m in multitime_op)
+    else:
+        sops = np.zeros((0, d * d, d * d))
+        ks = np.zeros((0,), dtype=np.int32)
+        before = ()
+        modes = ()
+    mto_sops = jnp.asarray(sops, dtype=cdt)
+    mto_ks = jnp.asarray(ks)
+
+    if phonons:
+        from pyaceqd_tpu.engine import ptmpo
+        pt = ptmpo.get_process_tensor(
+            boson_op=spec.boson_coupling, dt=dt, t_mem=t_mem, ae=ae,
+            temperature=temperature, threshold=threshold, use_infinite=use_infinite,
+            J_file=J_file, factor_ah=factor_ah, boson_e_max=boson_e_max,
+            system_prefix=system_prefix, pt_file=pt_file, temp_dir=temp_dir,
+            J_to_file=J_to_file, verbose=verbose)
+        outputs, Es = ptmpo.propagate_pt(
+            pt, U, E_half if has_diss else None, rho0_vec, W, mto_sops, mto_ks,
+            mto_before=before, mto_mode=modes, collect_E=calc_dynmap)
+    else:
+        outputs, Es = propagator.propagate(
+            U, E_half, rho0_vec, W, mto_sops, mto_ks,
+            mto_before=before, mto_mode=modes, collect_E=calc_dynmap,
+            has_diss=has_diss)
+
+    outputs = np.asarray(outputs)
+    result = np.empty((1 + len(spec.output_mats), len(t)), dtype=complex)
+    result[0] = t
+    for i in range(len(spec.output_mats)):
+        result[1 + i] = outputs[:, i]
+
+    if calc_dynmap:
+        return result, np.asarray(Es)
+    return result
