@@ -26,6 +26,7 @@ import numpy as np
 
 from pyaceqd_tpu import config
 from pyaceqd_tpu.engine.simulate import Task, mto_superop
+from pyaceqd_tpu.utils.cplx import hostsafe
 from pyaceqd_tpu.ops import superop
 from pyaceqd_tpu.ops.dsl import parse_operator
 
@@ -39,7 +40,7 @@ def _sys_step(rho, Uk, E_half, d, has_diss):
     return rho
 
 
-@partial(jax.jit, static_argnames=("has_diss",))
+@hostsafe(static_argnames=("has_diss",))
 def trunk_trajectory(U, E_half, rho0_vec, has_diss=True):
     """Propagate the full grid once, returning rho at every grid point.
 
@@ -54,7 +55,7 @@ def trunk_trajectory(U, E_half, rho0_vec, has_diss=True):
     return jnp.concatenate([rho0_vec[None], traj], axis=0)
 
 
-@partial(jax.jit, static_argnames=("n_tau", "has_diss"))
+@hostsafe(static_argnames=("n_tau", "has_diss"))
 def branch_outputs(U, E_half, rho_traj, t1_ks, S_branch, W_tau, W_zero,
                    n_tau, has_diss=True):
     """Vmapped branch propagation.
@@ -90,6 +91,75 @@ def branch_outputs(U, E_half, rho_traj, t1_ks, S_branch, W_tau, W_zero,
     Gtau = jax.vmap(one_branch)(t1_ks)
     G0 = rho_traj[t1_ks] @ W_zero.T
     return G0, Gtau
+
+
+@hostsafe(static_argnames=("mto_before", "has_diss"))
+def _vmapped_runs_core(U, E_half, rho0_vec, W, mto_sops, mto_ks_batch,
+                       gather_ks, mto_before=(), has_diss=True):
+    d = U.shape[1]
+    d2 = d * d
+    n = U.shape[0]
+    n_mto = len(mto_before)
+
+    def one_run(mks, gks):
+        def apply_mtos(rho, k, before_phase):
+            for i in range(n_mto):
+                if mto_before[i] == before_phase:
+                    rho = jnp.where(k == mks[i], mto_sops[i] @ rho, rho)
+            return rho
+
+        def body(rho, xs):
+            Uk, k = xs
+            rho = apply_mtos(rho, k, True)
+            y = W @ rho
+            rho = apply_mtos(rho, k, False)
+            rho = _sys_step(rho, Uk, E_half, d, has_diss)
+            return rho, y
+
+        ks = jnp.arange(n, dtype=jnp.int32)
+        rho_f, ys = jax.lax.scan(body, rho0_vec, (U, ks))
+        rho_f = apply_mtos(rho_f, jnp.int32(n), True)
+        outputs = jnp.concatenate([ys, (W @ rho_f)[None]], axis=0)
+        return outputs[gks]
+
+    return jax.vmap(one_run)(mto_ks_batch, gather_ks)
+
+
+def batched_mto_runs(task: Task, mtos, mto_times, gather_times, output_ops,
+                     chunk=512):
+    """Fully general multi-time-operator fan-out: B independent runs that
+    share the trunk setup but differ in their MTO insertion times, vmapped.
+
+    This is the engine behind the reference's nested-loop correlators with
+    several movable insertion times (e.g. the timebin three-MTO four-time
+    functions, four_level_system/dark_model.py:260-361, timebin/twophoton.py):
+    every (t1, t2, t3) combination is one vmapped lane instead of one ACE
+    subprocess.
+
+    Args:
+      mtos: list of MTO dicts (applyFrom/applyBefore; "time" ignored).
+      mto_times: (B, n_mto) absolute times per run.
+      gather_times: (B, m) absolute times at which outputs are collected.
+      output_ops: operator strings/matrices for the output rows.
+    Returns (B, m, n_out) complex.
+    """
+    from pyaceqd_tpu.ops.dsl import parse_operator
+    cdt = config.cdtype()
+    d = task.dim
+    sops = np.stack([mto_superop(m) for m in mtos]).astype(cdt)
+    before = tuple(str(m.get("applyBefore", "false")).lower() == "true" for m in mtos)
+    W = np.stack([superop.trace_vector(parse_operator(o) if isinstance(o, str) else o)
+                  for o in output_ops]).astype(cdt)
+    mto_ks = np.asarray(task.k_of(mto_times), dtype=np.int32).reshape(len(mto_times), len(mtos))
+    gather_ks = np.asarray(task.k_of(gather_times), dtype=np.int32)
+    B = mto_ks.shape[0]
+    out = []
+    for lo in range(0, B, chunk):
+        hi = min(B, lo + chunk)
+        out.append(np.asarray(_vmapped_runs_core(
+            task.U, task.E_half, task.rho0_vec, W, sops, mto_ks[lo:hi],
+            gather_ks[lo:hi], mto_before=before, has_diss=task.has_diss)))
+    return np.concatenate(out, axis=0)
 
 
 def compose_branch_superop(mtos, dim):
@@ -128,11 +198,11 @@ def correlation_2d(task: Task, t_axis, branch_mtos, output_op, zero_op,
     # trunk with fixed-time MTOs folded in
     if trunk_mtos:
         from pyaceqd_tpu.engine import propagator
-        sops = jnp.asarray(np.stack([mto_superop(m) for m in trunk_mtos]), dtype=cdt)
-        ks = jnp.asarray(task.k_of([m["time"] for m in trunk_mtos]))
+        sops = np.stack([mto_superop(m) for m in trunk_mtos]).astype(cdt)
+        ks = task.k_of([m["time"] for m in trunk_mtos])
         before = tuple(str(m.get("applyBefore", "false")).lower() == "true" for m in trunk_mtos)
         # reuse propagate with identity outputs to collect the trajectory
-        eye_W = jnp.eye(d * d, dtype=cdt)
+        eye_W = np.eye(d * d, dtype=cdt)
         outputs, _ = propagator.propagate(
             task.U, task.E_half, task.rho0_vec, eye_W, sops, ks,
             mto_before=before, mto_mode=tuple(m["applyFrom"] for m in trunk_mtos),
@@ -148,20 +218,20 @@ def correlation_2d(task: Task, t_axis, branch_mtos, output_op, zero_op,
             k = int(task.k_of(m["time"]))
             S = mto_superop(m)
             rho_traj[k] = S @ rho_traj[k]
-        rho_traj = jnp.asarray(rho_traj, dtype=cdt)
+        rho_traj = rho_traj.astype(cdt)
     else:
         rho_traj = trunk_trajectory(task.U, task.E_half, task.rho0_vec,
                                     has_diss=task.has_diss)
 
-    S_branch = jnp.asarray(compose_branch_superop(branch_mtos, d), dtype=cdt)
+    S_branch = compose_branch_superop(branch_mtos, d).astype(cdt)
     O_tau = output_op if not isinstance(output_op, str) else parse_operator(output_op)
     O_zero = zero_op if not isinstance(zero_op, str) else parse_operator(zero_op)
-    W_tau = jnp.asarray(superop.trace_vector(O_tau)[None], dtype=cdt)
-    W_zero = jnp.asarray(superop.trace_vector(O_zero)[None], dtype=cdt)
+    W_tau = superop.trace_vector(O_tau)[None].astype(cdt)
+    W_zero = superop.trace_vector(O_zero)[None].astype(cdt)
 
     G0, Gtau = branch_outputs(task.U, task.E_half, rho_traj,
-                              jnp.asarray(t1_ks), S_branch, W_tau, W_zero,
-                              n_tau, has_diss=task.has_diss)
+                              np.asarray(t1_ks, dtype=np.int32), S_branch, W_tau,
+                              W_zero, n_tau, has_diss=task.has_diss)
     G = np.empty((len(t1_ks), n_tau + 1), dtype=complex)
     G[:, 0] = np.asarray(G0)[:, 0]
     G[:, 1:] = np.asarray(Gtau)[:, :, 0]

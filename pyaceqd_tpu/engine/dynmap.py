@@ -21,9 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyaceqd_tpu import config
+from pyaceqd_tpu.utils.cplx import hostsafe
 
 
-@jax.jit
+@hostsafe
 def propagate_maps(maps, rho0_vec):
     """rho_{k+1} = maps[k] rho_k; returns trajectory (len(maps)+1, d^2)."""
     def body(rho, M):
@@ -33,7 +34,7 @@ def propagate_maps(maps, rho0_vec):
     return jnp.concatenate([rho0_vec[None], traj], axis=0)
 
 
-@partial(jax.jit, static_argnames=("n_steps",))
+@hostsafe(static_argnames=("n_steps",))
 def propagate_stationary(tl_map, rho0_vec, n_steps):
     """rho_k = tl_map^k rho_0, k=1..n_steps; returns (n_steps, d^2)."""
     def body(rho, _):
@@ -61,7 +62,7 @@ def matrix_power_traced(M, n):
     return result
 
 
-@jax.jit
+@hostsafe
 def calc_tl_dynmap(dm, rcond=1e-12):
     """Time-local maps from accumulated maps, batched on device.
 
@@ -73,7 +74,7 @@ def calc_tl_dynmap(dm, rcond=1e-12):
     return jnp.concatenate([dm[:1], rest], axis=0)
 
 
-@partial(jax.jit, static_argnames=("n_tau",))
+@hostsafe(static_argnames=("n_tau",))
 def map_trunk_and_branches(maps, rho0_vec, t1_ks, S_branch, W_tau, W_zero, n_tau):
     """Map-chain analogue of engine.branched: trunk through per-step maps,
     branches start at traced indices t1_ks with S_branch applied, propagate
@@ -103,7 +104,7 @@ def map_trunk_and_branches(maps, rho0_vec, t1_ks, S_branch, W_tau, W_zero, n_tau
     return G0, Gtau
 
 
-@partial(jax.jit, static_argnames=("n_tau",))
+@hostsafe(static_argnames=("n_tau",))
 def stationary_branches(tl_map, rho_t1s, S_branch, W_tau, n_tau):
     """Branches that all propagate with ONE stationary map (QRT beyond the
     memory time; reference correlations.py:840-860 np.linalg.matrix_power path).
@@ -123,7 +124,7 @@ def stationary_branches(tl_map, rho_t1s, S_branch, W_tau, n_tau):
     return jax.vmap(one_branch)(rho_t1s)
 
 
-@partial(jax.jit, static_argnames=("n_tau", "n_mem"))
+@hostsafe(static_argnames=("n_tau", "n_mem"))
 def block_branches(block_maps, tl_map2, rho_t1s, n_tau, n_mem):
     """Branches that first run through a per-branch map *block* (the
     MTO-dependent within-memory maps) and then continue with a stationary map.

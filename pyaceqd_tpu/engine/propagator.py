@@ -30,6 +30,7 @@ import scipy.linalg
 
 from pyaceqd_tpu import config
 from pyaceqd_tpu.constants import hbar
+from pyaceqd_tpu.utils.cplx import hostsafe
 
 
 def dissipator_half_step(diss_sop: np.ndarray, dt: float) -> np.ndarray:
@@ -37,28 +38,34 @@ def dissipator_half_step(diss_sop: np.ndarray, dt: float) -> np.ndarray:
     return scipy.linalg.expm(0.5 * dt * diss_sop)
 
 
+@hostsafe
+def _step_unitaries_core(H0, C, f, dt):
+    Hk = H0[None] + jnp.einsum('nc,cij->nij', f, C) \
+        + jnp.einsum('nc,cij->nij', jnp.conj(f), jnp.conj(jnp.swapaxes(C, 1, 2)))
+    w, V = jnp.linalg.eigh(Hk)
+    phase = jnp.exp(jax.lax.complex(jnp.zeros_like(w), -(dt / hbar) * w)).astype(V.dtype)
+    return jnp.einsum('nik,nk,njk->nij', V, phase, jnp.conj(V))
+
+
 def step_unitaries(H0, couplings, fields_mid, dt):
     """Batched U_k = expm(-i dt H(t_mid,k)/hbar) for all steps.
 
     H0: (d,d); couplings: (n_c,d,d); fields_mid: (n,n_c) complex.
-    Returns (n,d,d) complex on device."""
+    Returns (n,d,d) complex (host NumPy on TPU backends, device array on CPU)."""
     cdt = config.cdtype()
-    H0 = jnp.asarray(H0, dtype=cdt)
+    rdt = config.rdtype()
+    d = H0.shape[0]
+    n = np.asarray(fields_mid).shape[0]
     if len(couplings):
-        C = jnp.asarray(np.stack(couplings), dtype=cdt)
-        f = jnp.asarray(fields_mid, dtype=cdt)
-        Hk = H0[None] + jnp.einsum('nc,cij->nij', f, C) \
-            + jnp.einsum('nc,cij->nij', jnp.conj(f), jnp.conj(jnp.swapaxes(C, 1, 2)))
+        C = np.stack(couplings).astype(cdt)
+        f = np.asarray(fields_mid, dtype=cdt)
     else:
-        n = fields_mid.shape[0]
-        Hk = jnp.broadcast_to(H0, (n, *H0.shape))
-    w, V = jnp.linalg.eigh(Hk)
-    phase = jnp.exp(-1j * (dt / hbar) * w.astype(config.rdtype())).astype(cdt)
-    U = jnp.einsum('nik,nk,njk->nij', V, phase, jnp.conj(V))
-    return U
+        C = np.zeros((1, d, d), dtype=cdt)
+        f = np.zeros((n, 1), dtype=cdt)
+    return _step_unitaries_core(np.asarray(H0, dtype=cdt), C, f, rdt(dt))
 
 
-@partial(jax.jit, static_argnames=("mto_before", "mto_mode", "collect_E", "has_diss"))
+@hostsafe(static_argnames=("mto_before", "mto_mode", "collect_E", "has_diss"))
 def propagate(U, E_half, rho0_vec, W, mto_sops, mto_ks,
               mto_before=(), mto_mode=(), collect_E=False, has_diss=True):
     """Scan the full propagation; return per-grid-point outputs (and maps).
@@ -154,6 +161,13 @@ def propagate(U, E_half, rho0_vec, W, mto_sops, mto_ks,
     return outputs, None
 
 
+@hostsafe
+def _dressed_eigh_core(H0, C, f):
+    Hk = H0[None] + jnp.einsum('nc,cij->nij', f, C) \
+        + jnp.einsum('nc,cij->nij', jnp.conj(f), jnp.conj(jnp.swapaxes(C, 1, 2)))
+    return jnp.linalg.eigh(Hk)
+
+
 def dressed_eigh(H0, couplings, fields, dt=None):
     """Instantaneous eigen-decomposition of H(t) on the grid, batched.
 
@@ -161,12 +175,12 @@ def dressed_eigh(H0, couplings, fields, dt=None):
     (reference general_system.py:297-304).  Returns (energies (n,d),
     eigenvectors (n,d,d)) with columns as eigenvectors, ascending order."""
     cdt = config.cdtype()
-    H0 = jnp.asarray(H0, dtype=cdt)
+    d = H0.shape[0]
+    n = np.asarray(fields).shape[0]
     if len(couplings):
-        C = jnp.asarray(np.stack(couplings), dtype=cdt)
-        f = jnp.asarray(fields, dtype=cdt)
-        Hk = H0[None] + jnp.einsum('nc,cij->nij', f, C) \
-            + jnp.einsum('nc,cij->nij', jnp.conj(f), jnp.conj(jnp.swapaxes(C, 1, 2)))
+        C = np.stack(couplings).astype(cdt)
+        f = np.asarray(fields, dtype=cdt)
     else:
-        Hk = jnp.broadcast_to(H0, (fields.shape[0], *H0.shape))
-    return jnp.linalg.eigh(Hk)
+        C = np.zeros((1, d, d), dtype=cdt)
+        f = np.zeros((n, 1), dtype=cdt)
+    return _dressed_eigh_core(np.asarray(H0, dtype=cdt), C, f)

@@ -1,0 +1,431 @@
+"""Process-tensor MPO engine for the phonon environment.
+
+This is the from-scratch replacement for the external ACE binary's PT
+machinery (/root/reference/pyaceqd/general_system/general_system.py:161-198):
+the discretized influence functional of the superohmic QD-phonon bath is
+compressed once into a matrix-product operator over time steps, cached on
+disk keyed by (prefix, ae, T, threshold, t_mem, dt) exactly like the
+reference's PT files, and then consumed by a single lax.scan on device.
+
+Design (TPU-first):
+
+- The coupling operator (``boson_op``) is diagonal in the system basis for
+  every model in the reference (weighted exciton-number operators), so the
+  influence functional is diagonal in the Liouville path index s=(i,j): it
+  depends on s only through the pair g(s) = (nu, mu) = (B_ii, B_jj).  The PT
+  is therefore an MPS over per-step *group* variables g with small physical
+  dimension G <= d^2 (ACE's dict compression, ``dict_zero``).
+
+- Construction (host, NumPy/LAPACK, one-time + cached): a streaming windowed
+  MPS build.  The frontier holds the last n_mem-1 time slots; each new step
+  multiplies in its QUAPI influence factors b_Delta as a bond-G MPO layer,
+  the chain is re-canonicalized and SVD-truncated at ``threshold`` (the
+  reference's ``threshold 1e-N``, capped at chi_max), and the oldest site —
+  whose memory window just closed — is emitted as a finished PT tensor.
+  The chain is built for a finite propagation horizon and cached; shorter
+  runs reuse its prefix (a stationary repeated-bulk extraction, the analogue
+  of ``use_Gaussian_repeat``/``use_Gaussian_infinite``, is a planned
+  optimization — the truncation bases rotate between steps, so a literal
+  fixed-point tensor needs gauge matching).
+
+- Readout at every step uses environment-closure *caps*: c_m[bond] equals
+  the contraction of the remaining chain along any diagonal Liouville path
+  (all influence factors are exactly 1 there), i.e. the trace of the
+  history-correlated environment.  Caps are one backward sweep and are
+  horizon-independent up to the truncation error.
+
+- Propagation (device): state A[chi, d^2]; per step, the system
+  symmetric-Trotter map acts on the d^2 index and the PT tensor contracts the
+  bond: A'[b, s] = sum_a Q_k[a, g(s), b] A[a, s] — one batched matmul per
+  step on the MXU, consumed as lax.scan xs.
+"""
+
+import os
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyaceqd_tpu import config, constants
+from pyaceqd_tpu.engine import spectral
+from pyaceqd_tpu.utils.cplx import hostsafe
+
+hbar = constants.hbar
+
+
+# ---------------------------------------------------------------------------
+# grouping of the Liouville index by coupling values
+# ---------------------------------------------------------------------------
+
+def liouville_groups(boson_mat, tol_decimals=12):
+    """Group s=(i,j) by the coupling pair (B_ii, B_jj).
+
+    Returns (g_of_s (d^2,) int32, nu (G,), mu (G,)).  Raises if the coupling
+    operator is not diagonal (never the case in the reference model zoo)."""
+    B = np.asarray(boson_mat)
+    if not np.allclose(B, np.diag(np.diag(B)), atol=1e-12):
+        raise NotImplementedError(
+            "PT-MPO engine currently requires a diagonal boson coupling operator")
+    bdiag = np.real(np.diag(B))
+    d = len(bdiag)
+    pairs = np.round([(bdiag[i], bdiag[j]) for i in range(d) for j in range(d)],
+                     tol_decimals)
+    uniq, g_of_s = np.unique(pairs, axis=0, return_inverse=True)
+    return g_of_s.astype(np.int32), uniq[:, 0].copy(), uniq[:, 1].copy()
+
+
+def influence_factors(eta, nu, mu):
+    """b_0 vector (G,) and b_Delta matrices (n_mem-1, G, G).
+
+    b_Delta[c, g] = exp(-(nu_c - mu_c) (eta_Delta nu_g - eta_Delta^* mu_g));
+    b_0[g] uses the same expression at Delta=0 with c=g (self term)."""
+    dnu = nu - mu
+    y = lambda e: np.outer(dnu, e * nu - np.conj(e) * mu)  # (c, g)
+    b0 = np.exp(-np.diag(y(eta[0])))
+    bD = np.exp(-np.stack([y(e) for e in eta[1:]]))
+    return b0, bD
+
+
+# ---------------------------------------------------------------------------
+# streaming windowed MPS construction (host)
+# ---------------------------------------------------------------------------
+
+def _apply_layer(chain, b0, bD, w_eff):
+    """Multiply the influence factors of a new time step into the chain.
+
+    chain: list of (chi_l, G, chi_r) site tensors, oldest first; the new
+    step's factor-carrying bond (dim G) threads right-to-left through the
+    last w_eff sites only — beyond the effective kernel range |eta_Delta| is
+    negligible and b_Delta ~= 1 (the reference's ``dict_zero`` spirit), so
+    older sites are untouched and stay canonical."""
+    W = len(chain)
+    G = len(b0)
+    start = max(0, W - w_eff)  # first site the c-line reaches
+    new_chain = list(chain[:start])
+    for j in range(start, W):
+        P = chain[j]
+        delta = W - j
+        B = bD[delta - 1]  # (c, g)
+        chi_l, _, chi_r = P.shape
+        if j == start:
+            T = np.einsum('agr,cg->agrc', P, B).reshape(chi_l, G, chi_r * G)
+        else:
+            T = np.zeros((chi_l, G, G, chi_r, G), dtype=complex)
+            for c in range(G):
+                T[:, c, :, :, c] = P * B[c][None, :, None]
+            T = T.reshape(chi_l * G, G, chi_r * G)
+        new_chain.append(T)
+    # new site: emits its own value on the bond, weighted by the self term
+    N = np.zeros((G, G, 1), dtype=complex)
+    for g in range(G):
+        N[g, g, 0] = b0[g]
+    if W == 0 or w_eff == 0:
+        N = N.sum(axis=0, keepdims=True)  # no past in range: close immediately
+    new_chain.append(N)
+    return new_chain
+
+
+def _qr_fixed(M):
+    """QR with the gauge pinned: diag(R) real-positive."""
+    Q, R = np.linalg.qr(M)
+    d = np.diag(R).copy()
+    mag = np.abs(d)
+    ph = np.where(mag > 1e-300, d, 1.0) / np.where(mag > 1e-300, mag, 1.0)
+    return Q * ph[None, :], R / ph[:, None]
+
+
+def _qr_sweep_lr(chain, start=0):
+    for i in range(start, len(chain) - 1):
+        a, g, b = chain[i].shape
+        Q, R = _qr_fixed(chain[i].reshape(a * g, b))
+        chain[i] = Q.reshape(a, g, Q.shape[1])
+        chain[i + 1] = np.einsum('ab,bgc->agc', R, chain[i + 1])
+    return chain
+
+
+def _svd_sweep_rl(chain, thr, chi_max, stop=0):
+    for i in range(len(chain) - 1, stop, -1):
+        a, g, b = chain[i].shape
+        U, S, Vh = np.linalg.svd(chain[i].reshape(a, g * b), full_matrices=False)
+        keep = int(np.sum(S > S[0] * thr)) if S[0] > 0 else 1
+        keep = max(1, min(chi_max, keep))
+        chain[i] = Vh[:keep].reshape(keep, g, b)
+        chain[i - 1] = np.einsum('agb,bc->agc', chain[i - 1], U[:, :keep] * S[:keep])
+    return chain
+
+
+def _emit(chain):
+    """Split off the oldest site in left-canonical form (gauge-pinned QR)."""
+    a, g, b = chain[0].shape
+    Q, R = _qr_fixed(chain[0].reshape(a * g, b))
+    emitted = Q.reshape(a, g, Q.shape[1])
+    chain = chain[1:]
+    chain[0] = np.einsum('ab,bgc->agc', R, chain[0])
+    return emitted, chain
+
+
+def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
+                     eta_cut=1e-10, verbose=False):
+    """Build the per-step PT tensors for a propagation horizon of n_steps.
+
+    The memory window is len(eta) steps, but the layer only threads through
+    the effective kernel range w_eff (|eta_Delta| > eta_cut * |eta_0|); the
+    chain is kept LEFT-canonical with the center at the newest site, so each
+    layer needs one truncation sweep + one re-canonicalization sweep over the
+    touched segment only.  The remaining frontier is flushed at the end (those
+    tensors simply have no future factors — correct for every readout within
+    the horizon).  Returns a list of n_steps tensors Q_k[chi_l, G, chi_r]
+    with chi_0 = chi_n = 1.
+    """
+    n_mem = len(eta)
+    b0, bD = influence_factors(eta, nu, mu)
+    mags = np.abs(eta)
+    big = np.where(mags[1:] > eta_cut * mags[0])[0]
+    w_eff = int(big[-1] + 1) if len(big) else 1
+    chain = []
+    emitted = []
+    for step in range(n_steps):
+        touched = min(len(chain), w_eff)
+        chain = _apply_layer(chain, b0, bD, w_eff)
+        seg = max(0, len(chain) - 1 - touched)  # leftmost modified site index
+        # canonicalize the touched segment, truncate right-to-left (valid:
+        # everything left of each bond is an isometry), re-canonicalize
+        chain = _qr_sweep_lr(chain, start=seg)
+        chain = _svd_sweep_rl(chain, threshold, chi_max, stop=seg)
+        chain = _qr_sweep_lr(chain, start=seg)
+        if len(chain) == n_mem:
+            Q, chain = _emit(chain)
+            emitted.append(Q)
+    emitted.extend(chain)
+    assert len(emitted) == n_steps
+    return emitted
+
+
+@dataclass
+class ProcessTensor:
+    """Cached, padded finite-horizon PT ready for device consumption."""
+    stack: np.ndarray        # (n, chi, G, chi): per-step tensors
+    caps: np.ndarray         # (n+1, chi): env-closure caps per grid point
+    g_of_s: np.ndarray       # (d^2,) int32
+    counter_term: np.ndarray  # polaron-shift counter Hamiltonian [meV]
+    chi: int
+    n_mem: int
+
+    @property
+    def n_steps(self):
+        return self.stack.shape[0]
+
+    def prefix(self, n):
+        """A shorter-horizon view: the chain prefix with its caps (valid
+        because the env-closure caps are horizon-independent up to the
+        truncation error)."""
+        if n > self.n_steps:
+            raise ValueError(f"process tensor built for {self.n_steps} steps, "
+                             f"requested {n}")
+        return ProcessTensor(stack=self.stack[:n], caps=self.caps[:n + 1],
+                             g_of_s=self.g_of_s, counter_term=self.counter_term,
+                             chi=self.chi, n_mem=self.n_mem)
+
+
+def _pad(T, chi):
+    a, g, b = T.shape
+    out = np.zeros((chi, g, chi), dtype=complex)
+    out[:a, :, :b] = T
+    return out
+
+
+def assemble_process_tensor(eta, g_of_s, nu, mu, counter_term, n_steps,
+                            threshold=1e-8, chi_max=64, verbose=False):
+    tensors = build_pt_tensors(eta, nu, mu, n_steps, threshold=threshold,
+                               chi_max=chi_max, verbose=verbose)
+    # diagonal Liouville group (nu == mu): all influence factors are exactly 1
+    # along it, so the backward product of the chain evaluated there is the
+    # environment-trace closure (see module docstring)
+    g_diag = int(np.where(np.isclose(nu, mu))[0][0])
+    chi = max(max(T.shape[0], T.shape[2]) for T in tensors)
+    stack = np.stack([_pad(T, chi) for T in tensors])
+    n = len(tensors)
+    caps = np.zeros((n + 1, chi), dtype=complex)
+    caps[n, 0] = 1.0
+    for m in range(n - 1, -1, -1):
+        caps[m] = stack[m][:, g_diag, :] @ caps[m + 1]
+    # global normalization: Tr rho(0) = 1 requires cap_0 = 1 on the dim-1 bond
+    c0 = caps[0][0]
+    caps = caps / c0
+    return ProcessTensor(stack=stack, caps=caps, g_of_s=np.asarray(g_of_s),
+                         counter_term=np.asarray(counter_term), chi=chi,
+                         n_mem=len(eta))
+
+
+# ---------------------------------------------------------------------------
+# cache + entry point
+# ---------------------------------------------------------------------------
+
+def _cache_path(system_prefix, ae, temperature, threshold, t_mem, dt, J_file,
+                temp_dir, pt_file):
+    """Mirror the reference's PT-file naming (general_system.py:146-151)."""
+    if pt_file is not None:
+        base = str(pt_file)
+    elif J_file is not None:
+        base = "{}_{}_{}k_th{}_tmem{}_dt{}.ptr".format(
+            system_prefix, os.path.splitext(os.path.basename(J_file))[0],
+            temperature, threshold, t_mem, dt)
+    else:
+        base = "{}_{}nm_{}k_th{}_tmem{}_dt{}.ptr".format(
+            system_prefix, ae, temperature, threshold, t_mem, dt)
+    d = temp_dir if temp_dir else constants.temp_dir
+    return os.path.join(d, base + "_ptmpo.npz")
+
+
+def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
+                       threshold="10", use_infinite=False, J_file=None,
+                       factor_ah=None, boson_e_max=7, system_prefix="",
+                       pt_file=None, temp_dir=None, J_to_file=None,
+                       verbose=False, chi_max=64, subtract_polaron_shift=True):
+    """Load or build the process tensor for the given bath parameters and
+    propagation horizon.  A cached chain built for a longer horizon serves
+    shorter runs via its prefix; a longer request triggers a rebuild."""
+    if boson_op is None:
+        raise ValueError("phonons=True requires a boson coupling operator")
+    thr = 10.0 ** (-float(threshold))
+    if J_file is not None:
+        J = spectral.TabulatedJ(J_file)
+    else:
+        J = spectral.QDPhononJ(ae=ae, factor_ah=(factor_ah or 1.15))
+    if J_to_file:
+        # dump J(omega) like the reference's Boson_J_print (0..15 meV, 2000 pts)
+        e = np.linspace(0, 15, 2000)
+        np.savetxt(J_to_file, np.c_[e, J(e / hbar)])
+        if verbose:
+            print("write J(omega) to {}".format(J_to_file))
+
+    path = _cache_path(system_prefix, ae, temperature, threshold, t_mem, dt,
+                       J_file, temp_dir, pt_file)
+    g_of_s, nu, mu = liouville_groups(boson_op)
+    if os.path.exists(path):
+        z = np.load(path)
+        if (z["g_of_s"].shape == g_of_s.shape and np.all(z["g_of_s"] == g_of_s)
+                and z["stack"].shape[0] >= n_steps):
+            if verbose:
+                print("using pt cache " + path)
+            pt = ProcessTensor(stack=z["stack"], caps=z["caps"],
+                               g_of_s=z["g_of_s"], counter_term=z["counter"],
+                               chi=int(z["chi"]), n_mem=int(z["n_mem"]))
+            return pt.prefix(n_steps)
+
+    if verbose:
+        print("{} not found (or too short). Calculating...".format(path))
+    n_mem = max(2, int(round(t_mem / dt)))
+    eta = spectral.eta_coefficients(J, dt, n_mem, temperature,
+                                    e_max_mev=boson_e_max)
+    Bdiag = np.real(np.diag(np.asarray(boson_op)))
+    delta_p = J.polaron_shift()
+    counter = (hbar * delta_p * np.diag(Bdiag**2) if subtract_polaron_shift
+               else np.zeros((len(Bdiag), len(Bdiag))))
+    pt = assemble_process_tensor(eta, g_of_s, nu, mu, counter, n_steps,
+                                 threshold=thr, chi_max=chi_max, verbose=verbose)
+    try:
+        np.savez(path, stack=pt.stack, caps=pt.caps, g_of_s=pt.g_of_s,
+                 counter=pt.counter_term, chi=pt.chi, n_mem=pt.n_mem)
+    except OSError:
+        pass
+    return pt
+
+
+# ---------------------------------------------------------------------------
+# device propagation
+# ---------------------------------------------------------------------------
+
+@hostsafe(static_argnames=("mto_before", "mto_mode", "has_diss"))
+def _propagate_pt_core(stack, caps, g_of_s, U, E_half, rho0_vec, W, mto_sops,
+                       mto_ks, mto_before=(), mto_mode=(), has_diss=True):
+    n = U.shape[0]
+    d = U.shape[1]
+    d2 = d * d
+    chi = stack.shape[1]
+    n_mto = len(mto_before)
+
+    def apply_mtos(A, k, before_phase):
+        for i in range(n_mto):
+            if mto_before[i] == before_phase:
+                A = jnp.where(k == mto_ks[i], A @ mto_sops[i].T, A)
+        return A
+
+    def sys_step(A, Uk):
+        if has_diss:
+            A = A @ E_half.T
+        Am = A.reshape(chi, d, d)
+        Am = jnp.einsum('ik,akl,jl->aij', Uk, Am, jnp.conj(Uk))
+        A = Am.reshape(chi, d2)
+        if has_diss:
+            A = A @ E_half.T
+        return A
+
+    A0 = jnp.zeros((chi, d2), dtype=rho0_vec.dtype).at[0].set(rho0_vec)
+    ks = jnp.arange(n, dtype=jnp.int32)
+
+    def body(A, xs):
+        Uk, Qk, cap_k, k = xs
+        A = apply_mtos(A, k, True)
+        y = W @ (cap_k @ A)
+        A = apply_mtos(A, k, False)
+        A = sys_step(A, Uk)
+        Qs = Qk[:, g_of_s, :]                 # (chi, d2, chi)
+        A = jnp.einsum('asb,as->bs', Qs, A)
+        return A, y
+
+    A_f, ys = jax.lax.scan(body, A0, (U, stack, caps[:-1], ks))
+    A_f = apply_mtos(A_f, jnp.int32(n), True)
+    y_last = W @ (caps[-1] @ A_f)
+    outputs = jnp.concatenate([ys, y_last[None]], axis=0)
+    return outputs
+
+
+@hostsafe(static_argnames=("mto_before", "mto_mode", "has_diss"))
+def _pt_dynmaps_core(stack, caps, g_of_s, U, E_half, W_eye, mto_sops, mto_ks,
+                     mto_before=(), mto_mode=(), has_diss=True):
+    """Accumulated dynamical maps E(t_m, t_0) with the environment closed at
+    each step (the ACEutils DynamicalMap equivalent): vmap the PT propagation
+    over the d^2 Liouville basis initial states and stack the closed states."""
+    d2 = W_eye.shape[0]
+
+    def one_basis(rho0):
+        return _propagate_pt_core.__wrapped__(
+            stack, caps, g_of_s, U, E_half, rho0, W_eye, mto_sops, mto_ks,
+            mto_before=mto_before, mto_mode=mto_mode, has_diss=has_diss)
+
+    basis = jnp.eye(d2, dtype=E_half.dtype)
+    outs = jax.vmap(one_basis)(basis)          # (d2_basis, n+1, d2_out)
+    return jnp.transpose(outs, (1, 2, 0))       # (n+1, d2_out, d2_basis)
+
+
+def propagate_pt(pt: ProcessTensor, U, E_half, rho0_vec, W, mto_sops, mto_ks,
+                 mto_before=(), mto_mode=(), collect_E=False):
+    """Phonon-dressed propagation; mirrors propagator.propagate's contract."""
+    cdt = config.cdtype()
+    n = np.asarray(U).shape[0]
+    pt = pt.prefix(n)
+    has_diss = E_half is not None
+    stack = pt.stack.astype(cdt)
+    caps = pt.caps.astype(cdt)
+    g_of_s = np.asarray(pt.g_of_s, dtype=np.int32)
+    E = (np.asarray(E_half, dtype=cdt) if has_diss
+         else np.eye(len(g_of_s), dtype=cdt))
+    args = (stack, caps, g_of_s, np.asarray(U, dtype=cdt), E,
+            np.asarray(rho0_vec, dtype=cdt), np.asarray(W, dtype=cdt),
+            np.asarray(mto_sops, dtype=cdt), np.asarray(mto_ks, dtype=np.int32))
+    outputs = _propagate_pt_core(*args, mto_before=mto_before,
+                                 mto_mode=mto_mode, has_diss=has_diss)
+    Es = None
+    if collect_E:
+        d2 = len(g_of_s)
+        W_eye = np.eye(d2, dtype=cdt)
+        maps = _pt_dynmaps_core(stack, caps, g_of_s, np.asarray(U, dtype=cdt),
+                                E, W_eye, np.asarray(mto_sops, dtype=cdt),
+                                np.asarray(mto_ks, dtype=np.int32),
+                                mto_before=mto_before, mto_mode=mto_mode,
+                                has_diss=has_diss)
+        Es = np.asarray(maps)[1:]  # E(t_{k+1}, t_0) for k=0..n-1
+    return outputs, Es

@@ -115,6 +115,19 @@ def _load_field_file(path, t):
     return np.interp(t, data[:, 0], data[:, 1]) + 1j * np.interp(t, data[:, 0], data[:, 2])
 
 
+def _field_from(src, tq):
+    """Resolve a pulse-field source: a file path, an in-memory (t, values)
+    tuple (the framework's file-free equivalent of the reference's shared
+    pulse files), or a raw per-grid-point array."""
+    if isinstance(src, str):
+        return _load_field_file(src, tq)
+    if isinstance(src, (tuple, list)) and len(src) == 2:
+        t_s = np.asarray(src[0], dtype=float)
+        v = np.asarray(src[1])
+        return np.interp(tq, t_s, v.real) + 1j * np.interp(tq, t_s, v.imag)
+    return np.asarray(src)
+
+
 def simulate(t_start, t_end, *pulses, dt=0.1, phonons=False, t_mem=20.48, ae=3.0,
              temperature=1, verbose=False, temp_dir=None, pt_file=None, suffix="",
              multitime_op=None, pulse_file_x=None, pulse_file_y=None, system_prefix="",
@@ -160,13 +173,11 @@ def simulate(t_start, t_end, *pulses, dt=0.1, phonons=False, t_mem=20.48, ae=3.0
         f_x, f_y, f_rf = ham.sample_fields(pulses, tq, rf_matrix=rf_matrix,
                                            firstonly=firstonly)
         if pulse_file_x is not None:
-            f_x = (_load_field_file(pulse_file_x, tq)
-                   if isinstance(pulse_file_x, str) else np.interp(tq, *pulse_file_x[:2]) if isinstance(pulse_file_x, tuple)
-                   else np.asarray(pulse_file_x))
+            f_x = _field_from(pulse_file_x, tq)
         if pulse_file_y is not None:
-            f_y = _load_field_file(pulse_file_y, tq) if isinstance(pulse_file_y, str) else np.asarray(pulse_file_y)
+            f_y = _field_from(pulse_file_y, tq)
         if rf_matrix is not None and rf_file is not None:
-            f_rf = _load_field_file(rf_file, tq) if isinstance(rf_file, str) else np.asarray(rf_file)
+            f_rf = _field_from(rf_file, tq)
         cols = {0: f_x, 1: f_y, 2: f_rf}
         n_c = len(spec.couplings)
         F = np.zeros((len(tq), n_c), dtype=complex)
@@ -203,24 +214,30 @@ def simulate(t_start, t_end, *pulses, dt=0.1, phonons=False, t_mem=20.48, ae=3.0
         return M
 
     # ---- compile + run -----------------------------------------------------
+    pt = None
+    if phonons:
+        from pyaceqd_tpu.engine import ptmpo
+        pt = ptmpo.get_process_tensor(
+            boson_op=spec.boson_coupling, dt=dt, t_mem=t_mem, ae=ae,
+            temperature=temperature, n_steps=n, threshold=threshold,
+            use_infinite=use_infinite, J_file=J_file, factor_ah=factor_ah,
+            boson_e_max=boson_e_max, system_prefix=system_prefix,
+            pt_file=pt_file, temp_dir=temp_dir, J_to_file=J_to_file,
+            verbose=verbose)
+        # polaron-shift counter term (ACE Boson_subtract_polaron_shift true,
+        # general_system.py:175): interpret level energies as the measured,
+        # polaron-shifted ones
+        spec.H0 = spec.H0 + pt.counter_term
+
     U = propagator.step_unitaries(spec.H0, spec.couplings, F_mid, dt)
     has_diss = spec.diss_sop is not None
-    E_half = (jnp.asarray(propagator.dissipator_half_step(spec.diss_sop, dt), dtype=cdt)
-              if has_diss else jnp.eye(d * d, dtype=cdt))
-    rho0_vec = jnp.asarray(spec.rho0.reshape(-1), dtype=cdt)
-    W = jnp.asarray(np.stack([superop.trace_vector(O) for O in spec.output_mats])
-                    if spec.output_mats else np.zeros((0, d * d)), dtype=cdt)
+    E_half = (propagator.dissipator_half_step(spec.diss_sop, dt).astype(cdt)
+              if has_diss else np.eye(d * d, dtype=cdt))
+    rho0_vec = spec.rho0.reshape(-1).astype(cdt)
+    W = (np.stack([superop.trace_vector(O) for O in spec.output_mats])
+         if spec.output_mats else np.zeros((0, d * d))).astype(cdt)
 
     if return_task:
-        pt = None
-        if phonons:
-            from pyaceqd_tpu.engine import ptmpo
-            pt = ptmpo.get_process_tensor(
-                boson_op=spec.boson_coupling, dt=dt, t_mem=t_mem, ae=ae,
-                temperature=temperature, threshold=threshold,
-                use_infinite=use_infinite, J_file=J_file, factor_ah=factor_ah,
-                boson_e_max=boson_e_max, system_prefix=system_prefix,
-                pt_file=pt_file, temp_dir=temp_dir, verbose=verbose)
         return Task(dim=d, t=t, dt=dt, U=U, E_half=E_half, has_diss=has_diss,
                     rho0_vec=rho0_vec, W=W, spec=spec, pt=pt)
 
@@ -236,17 +253,11 @@ def simulate(t_start, t_end, *pulses, dt=0.1, phonons=False, t_mem=20.48, ae=3.0
         ks = np.zeros((0,), dtype=np.int32)
         before = ()
         modes = ()
-    mto_sops = jnp.asarray(sops, dtype=cdt)
-    mto_ks = jnp.asarray(ks)
+    mto_sops = sops.astype(cdt)
+    mto_ks = ks
 
     if phonons:
         from pyaceqd_tpu.engine import ptmpo
-        pt = ptmpo.get_process_tensor(
-            boson_op=spec.boson_coupling, dt=dt, t_mem=t_mem, ae=ae,
-            temperature=temperature, threshold=threshold, use_infinite=use_infinite,
-            J_file=J_file, factor_ah=factor_ah, boson_e_max=boson_e_max,
-            system_prefix=system_prefix, pt_file=pt_file, temp_dir=temp_dir,
-            J_to_file=J_to_file, verbose=verbose)
         outputs, Es = ptmpo.propagate_pt(
             pt, U, E_half if has_diss else None, rho0_vec, W, mto_sops, mto_ks,
             mto_before=before, mto_mode=modes, collect_E=calc_dynmap)

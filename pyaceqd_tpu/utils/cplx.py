@@ -1,0 +1,111 @@
+"""Complex-safe jit boundary for the axon TPU backend.
+
+Empirically verified on this hardware (TPU v5e via the experimental 'axon'
+PJRT plugin): complex64 arithmetic, eigh, expm and scans all work INSIDE a
+compiled program, but any program whose *entry signature* contains complex
+buffers — including plain device-to-host transfers of complex arrays — fails
+with UNIMPLEMENTED.  The fix is structural: complex values never cross the
+jit boundary.  :func:`hostsafe` wraps a function so that
+
+- complex array arguments are split host-side into float (2, ...) stacks and
+  recombined with ``jax.lax.complex`` inside the traced function;
+- complex outputs are split inside the trace and recombined host-side into
+  NumPy complex arrays.
+
+On CPU (tests, virtual-mesh dry runs) it reduces to a plain ``jax.jit``.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CPair(NamedTuple):
+    """Pytree node holding the (real, imag) float split of a complex array."""
+    re: object
+    im: object
+
+
+def _is_complex_leaf(x):
+    try:
+        return np.issubdtype(np.asarray(x).dtype if not hasattr(x, "dtype") else x.dtype,
+                             np.complexfloating)
+    except Exception:
+        return False
+
+
+def _split_host(x):
+    if isinstance(x, (np.ndarray, jnp.ndarray)) or hasattr(x, "dtype"):
+        if _is_complex_leaf(x):
+            xr = np.ascontiguousarray(np.real(x))
+            xi = np.ascontiguousarray(np.imag(x))
+            return CPair(xr, xi)
+    elif isinstance(x, complex):
+        return CPair(np.float32(x.real), np.float32(x.imag))
+    return x
+
+
+def _join_traced(x):
+    if isinstance(x, CPair):
+        return jax.lax.complex(jnp.asarray(x.re), jnp.asarray(x.im))
+    return x
+
+
+def _split_traced(x):
+    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return CPair(jnp.real(x), jnp.imag(x))
+    return x
+
+
+def _join_host(x):
+    if isinstance(x, CPair):
+        return np.asarray(x.re) + 1j * np.asarray(x.im)
+    return np.asarray(x) if hasattr(x, "dtype") else x
+
+
+def _needs_hostsafe():
+    return jax.default_backend() not in ("cpu",)
+
+
+def hostsafe(fn=None, *, static_argnames=()):
+    """jit with a complex-free entry/exit signature on accelerator backends.
+
+    Use exactly like ``jax.jit(fn, static_argnames=...)`` for functions whose
+    positional args / outputs may be complex arrays.  Keyword args listed in
+    static_argnames are passed through statically.
+    """
+    if fn is None:
+        return functools.partial(hostsafe, static_argnames=static_argnames)
+
+    jitted_plain = jax.jit(fn, static_argnames=static_argnames)
+
+    @functools.partial(jax.jit, static_argnames=static_argnames)
+    def inner(*args, **kwargs):
+        args = jax.tree_util.tree_map(_join_traced, args,
+                                      is_leaf=lambda x: isinstance(x, CPair))
+        out = fn(*args, **kwargs)
+        return jax.tree_util.tree_map(_split_traced, out)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if not _needs_hostsafe():
+            return jitted_plain(*args, **kwargs)
+        host_args = jax.tree_util.tree_map(_split_host, args)
+        out = inner(*host_args, **kwargs)
+        return jax.tree_util.tree_map(_join_host, out,
+                                      is_leaf=lambda x: isinstance(x, CPair))
+
+    return wrapper
+
+
+def device_get(x):
+    """Fetch an array to host NumPy, routing complex through a float split."""
+    if x is None:
+        return None
+    if _needs_hostsafe() and _is_complex_leaf(x):
+        re, im = jax.jit(lambda a: (jnp.real(a), jnp.imag(a)))(x)
+        return np.asarray(re) + 1j * np.asarray(im)
+    return np.asarray(x)

@@ -1,0 +1,116 @@
+"""PT-MPO phonon engine validation against exactly solvable physics.
+
+The independent-boson model (TLS with diagonal phonon coupling, no drive) has
+a closed-form dephasing function — the engine's primary accuracy gate
+(SURVEY.md §4: "independent-boson-model exact dephasing").
+"""
+
+import numpy as np
+import pytest
+
+from pyaceqd_tpu.engine import spectral
+from pyaceqd_tpu.models.tls import tls
+from pyaceqd_tpu.pulses import Pulse
+
+AE = 5.0
+TEMP = 4.0
+DT = 0.1
+TMEM = 6.4
+
+
+@pytest.fixture(scope="module")
+def cache_dir(tmp_path_factory):
+    # one PT cache shared by all tests in this module (mirrors the
+    # reference's on-disk PT reuse, general_system.py:146-157); pre-warm with
+    # the longest horizon so every test reuses its prefix
+    d = tmp_path_factory.mktemp("ptcache")
+    tls(0, 20, dt=DT, phonons=True, t_mem=TMEM, ae=AE, temperature=TEMP,
+        temp_dir=str(d), threshold=8)
+    return d
+
+
+def _ibm_run(tmp_path, t_end=8.0, temperature=TEMP):
+    rho0 = np.array([[0.5, 0.5], [0.5, 0.5]], dtype=complex)
+    res = tls(0, t_end, dt=DT, phonons=True, t_mem=TMEM, ae=AE,
+              temperature=temperature, rho0=rho0, lindblad=False,
+              temp_dir=str(tmp_path), threshold=8)
+    return res
+
+
+def test_ibm_exact_dephasing(cache_dir):
+    res = _ibm_run(cache_dir)
+    t = res[0].real
+    rho10 = res[4]  # output |1><0| -> Tr(|1><0| rho) = rho_01
+    J = spectral.QDPhononJ(ae=AE)
+    exact = 0.5 * spectral.ibm_dephasing(J, t, TEMP)
+    # amplitude: exact superohmic dephasing curve
+    assert np.allclose(np.abs(rho10), np.abs(exact), atol=2e-4)
+    # phase (polaron-subtracted: bounded, small)
+    mask = t > 0.1
+    ph_engine = np.unwrap(np.angle(rho10[mask]))
+    ph_exact = np.unwrap(np.angle(exact[mask]))
+    assert np.allclose(np.abs(ph_engine), np.abs(ph_exact), atol=2e-3)
+
+
+def test_ibm_trace_and_populations(cache_dir):
+    res = _ibm_run(cache_dir)
+    # diagonal coupling: populations are exactly conserved
+    assert np.allclose(res[1].real, 0.5, atol=1e-6)
+    assert np.allclose(res[2].real, 0.5, atol=1e-6)
+    assert np.allclose((res[1] + res[2]).real, 1.0, atol=1e-6)
+
+
+def test_ibm_temperature_dependence(cache_dir):
+    # higher temperature -> stronger dephasing
+    r4 = _ibm_run(cache_dir, temperature=4)
+    r77 = _ibm_run(cache_dir, temperature=77)
+    assert np.abs(r77[4][-1]) < np.abs(r4[4][-1]) * 0.8
+
+
+def test_phonon_damped_rabi(cache_dir):
+    # pi pulse with phonons: inversion below 1 but high (4K, ae=5nm), and
+    # trace preserved under drive
+    p = Pulse(tau=2, e_start=0, e0=1, t0=8)
+    res = tls(0, 20, p, dt=DT, phonons=True, t_mem=TMEM, ae=AE, temperature=TEMP,
+              temp_dir=str(cache_dir), threshold=8)
+    occ = res[2][-1].real
+    assert 0.8 < occ < 0.999
+    assert np.allclose((res[1] + res[2]).real, 1.0, atol=1e-5)
+    # reference point: without phonons the same pulse gives ~1
+    res0 = tls(0, 20, p, dt=DT, phonons=False)
+    assert res0[2][-1].real > 0.9999
+
+
+def test_pt_cache_roundtrip(cache_dir):
+    res1 = _ibm_run(cache_dir, t_end=4.0)
+    # second run must hit the cache (same key) and give identical results
+    res2 = _ibm_run(cache_dir, t_end=4.0)
+    assert np.allclose(res1, res2)
+    import glob
+    assert glob.glob(str(cache_dir) + "/*_ptmpo.npz")
+
+
+def test_phonon_mto(cache_dir):
+    # MTO application works inside the PT scan: sandwich sigma at t flips the
+    # (phonon-dressed) excited population to ground
+    p = Pulse(tau=2, e_start=0, e0=1, t0=8)
+    mto = {"operator": "|0><1|_2", "time": 14.0, "applyFrom": ""}
+    res = tls(0, 20, p, dt=DT, phonons=True, t_mem=TMEM, ae=AE, temperature=TEMP,
+              temp_dir=str(cache_dir), threshold=8, multitime_op=mto)
+    t = res[0].real
+    i = np.argmin(np.abs(t - 14.0))
+    assert res[2][i].real > 0.5
+    assert res[2][i + 1].real < 1e-5
+
+
+def test_phonon_dynmap(cache_dir):
+    # dynamical maps with phonons reproduce direct outputs
+    p = Pulse(tau=2, e_start=0, e0=0.8, t0=6)
+    res, dm = tls(0, 12, p, dt=DT, phonons=True, t_mem=TMEM, ae=AE,
+                  temperature=TEMP, temp_dir=str(cache_dir), threshold=8,
+                  calc_dynmap=True)
+    rho0 = np.array([1, 0, 0, 0], dtype=complex)
+    occ = [0.0]
+    for i in range(dm.shape[0]):
+        occ.append((dm[i] @ rho0)[3].real)
+    assert np.allclose(occ, res[2].real, atol=1e-7)
