@@ -172,7 +172,7 @@ def _tl_setup(system, pulses, t_mem, dt, rho0, mto_ops, options):
                         multitime_op=mtos, calc_dynmap=True, **opts)
     _t = np.round(result[0].real, 6)
     dm_tl = np.asarray(dynmap.calc_tl_dynmap(np.asarray(dm)))
-    tl_map, blocks = dynmap.extract_dms_device(dm_tl, _t[1:], t_mem, [2 * t_mem])
+    tl_map, blocks = dynmap.extract_dms_device(dm_tl, _t, t_mem, [2 * t_mem])
     return tl_map, blocks
 
 

@@ -149,6 +149,108 @@ def block_branches(block_maps, tl_map2, rho_t1s, n_tau, n_mem):
     return jax.vmap(one_branch)(block_maps, rho_t1s)
 
 
+@hostsafe(static_argnames=("n_tau", "n_tb", "n_map"))
+def block_periodic_branches(maps_full, dm_s, blocks, rho_t1s, t1_ks, W_tau,
+                            n_tau, n_tb, n_map):
+    """Phonon-case branch propagation with per-branch MTO-dependent map
+    blocks: the batched twin of propagate_tau.f90::calc_twotime_phonon_block
+    (reference two_time/purity.py:602-604, 709-711).
+
+    Each branch i starts from the PRE-insertion trunk state rho_t1s[i] at grid
+    index t1_ks[i]; until the first bin boundary after t1 it uses its own
+    block maps blocks[i] (which CONTAIN the inserted operators at step 0) and
+    the stationary map dm_s beyond the block; after crossing a bin boundary it
+    follows the periodic background maps_full (pulse block + stationary map
+    per bin).  Returns (B, n_tau) of W_tau . rho after 1..n_tau steps.
+    """
+    d2 = maps_full.shape[1]
+
+    def one_branch(block, rho, k1):
+        zero = jnp.zeros((), dtype=k1.dtype)
+        cross = (k1 // n_tb + 1) * n_tb  # first bin boundary after t1
+        win = jax.lax.dynamic_slice(maps_full, (k1, zero, zero),
+                                    (n_tau, d2, d2))
+
+        def body(r, xs):
+            Mwin, k = xs
+            m = k1 + k
+            Mb = block[jnp.minimum(k, n_map - 1)]
+            M = jnp.where(m < cross,
+                          jnp.where(k < n_map, Mb, dm_s),
+                          Mwin)
+            r = M @ r
+            return r, W_tau @ r
+
+        ks = jnp.arange(n_tau, dtype=jnp.int32)
+        _, ys = jax.lax.scan(body, rho, (win, ks))
+        return ys[:, 0]
+
+    return jax.vmap(one_branch)(blocks, rho_t1s, t1_ks)
+
+
+@hostsafe(static_argnames=("mto_before",))
+def _map_runs_core(maps, rho0_vec, W, mto_sops, mto_ks_batch, gather_ks,
+                   mto_before=()):
+    n = maps.shape[0]
+    n_mto = len(mto_before)
+
+    def one_run(mks, gks):
+        def apply_mtos(rho, k, before_phase):
+            for i in range(n_mto):
+                if mto_before[i] == before_phase:
+                    rho = jnp.where(k == mks[i], mto_sops[i] @ rho, rho)
+            return rho
+
+        def body(rho, xs):
+            Mk, k = xs
+            rho = apply_mtos(rho, k, True)
+            y = W @ rho
+            rho = apply_mtos(rho, k, False)
+            rho = Mk @ rho
+            return rho, y
+
+        ks = jnp.arange(n, dtype=jnp.int32)
+        rho_f, ys = jax.lax.scan(body, rho0_vec, (maps, ks))
+        rho_f = apply_mtos(rho_f, jnp.int32(n), True)
+        y_pre = W @ rho_f
+        # slot n+1: after ALL events at the final index fire, so gathers at
+        # index k+1 always see the post-event state even at the boundary
+        rho_f = apply_mtos(rho_f, jnp.int32(n), False)
+        y_post = W @ rho_f
+        outputs = jnp.concatenate([ys, y_pre[None], y_post[None]], axis=0)
+        return outputs[gks]
+
+    return jax.vmap(one_run)(mto_ks_batch, gather_ks)
+
+
+def batched_mto_map_runs(maps, rho0_vec, sops, before, mto_ks, gather_ks, W,
+                         chunk=1024):
+    """Fully general multi-insertion fan-out over a chain of per-step
+    dynamical maps: the map-world twin of branched.batched_mto_runs, and the
+    batched replacement for timebin_tl.f90::four_time_8op (OpenMP over t1
+    becomes a vmapped lane per (t1, t2) pair).
+
+    maps: (n, d^2, d^2); sops: (m, d^2, d^2) event superoperators shared by
+    all runs; mto_ks: (B, m) per-run insertion step indices; gather_ks: (B, g)
+    step indices at which W @ rho is collected (pre-event at that index).
+    Returns (B, g, n_out).
+    """
+    from pyaceqd_tpu import config
+    cdt = config.cdtype()
+    maps = np.asarray(maps, dtype=cdt)
+    B = mto_ks.shape[0]
+    out = []
+    for lo in range(0, B, chunk):
+        hi = min(B, lo + chunk)
+        out.append(np.asarray(_map_runs_core(
+            maps, np.asarray(rho0_vec, dtype=cdt), np.asarray(W, dtype=cdt),
+            np.asarray(sops, dtype=cdt),
+            np.asarray(mto_ks[lo:hi], dtype=np.int32),
+            np.asarray(gather_ks[lo:hi], dtype=np.int32),
+            mto_before=tuple(before))))
+    return np.concatenate(out, axis=0)
+
+
 def extract_dms_device(dm_tl, times, tau_c, t_MTOs):
     """Device-friendly extract_dms (reference tools.py:486-545): returns the
     stationary map and the within-memory blocks as stacked arrays."""

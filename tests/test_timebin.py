@@ -1,0 +1,103 @@
+"""Time-bin layer tests: one-photon dm, two-photon dm (v1 + v2 + tl fast
+path), cross-method agreement on small grids.
+
+Uses the reduced dark model driven by y-polarized pulses in both bins, the
+reference's standard time-bin protocol shape (early + late excitation)."""
+
+import numpy as np
+import pytest
+
+from pyaceqd_tpu.models.dark_model import darkmodel
+from pyaceqd_tpu.models.reduced_dark import darkmodel as darkmodel3
+from pyaceqd_tpu.pulses import Pulse
+from pyaceqd_tpu.timebin import (OnePhotonTimebin, TwoPhotonTimebin,
+                                 TwoPhotonTimebinNew)
+
+TB = 24.0
+DT = 0.2
+GAMMA = 1 / 10
+
+
+def _pulses():
+    # early and late excitation pulses (y-polarized drives G-X in darkmodel3)
+    p1 = Pulse(tau=1.5, e_start=0, e0=1, t0=6, polar_x=0)
+    p2 = Pulse(tau=1.5, e_start=0, e0=1, t0=6 + TB, polar_x=0)
+    return p1, p2
+
+
+OPTS = {"verbose": False, "delta_xd": 4, "gamma_e": GAMMA, "lindblad": True,
+        "phonons": False}
+
+
+def test_onephoton_densitymatrix():
+    p1, p2 = _pulses()
+    opt = dict(OPTS)
+    tpb = OnePhotonTimebin(darkmodel3, "|0><1|_3", p1, p2, dt=DT, tb=TB,
+                           gaussian_t=12, options=opt)
+    rho_ee, rho_ll, rho_el, norm = tpb.calc_densitymatrix()
+    # both bins get similar single-photon probability
+    assert rho_ee > 0
+    assert np.isclose(rho_ee, rho_ll, rtol=0.15)
+    # coherence bounded by sqrt(ee*ll)
+    assert rho_el <= np.sqrt(rho_ee * rho_ll) * 1.05
+
+
+def _tpe_pulses():
+    # two-photon-resonant pulses on the 4-level dark model (delta_b=4)
+    p1 = Pulse(tau=1.5, e_start=-2, e0=2 * np.pi, t0=6, polar_x=0)
+    p2 = Pulse(tau=1.5, e_start=-2, e0=2 * np.pi, t0=6 + TB, polar_x=0)
+    return p1, p2
+
+
+OPTS4 = {"verbose": False, "delta_xd": 4, "delta_b": 4, "gamma_e": GAMMA,
+         "gamma_b": GAMMA, "lindblad": True, "phonons": False}
+
+
+def test_twophoton_v1_diagonals():
+    p1, p2 = _tpe_pulses()
+    tpb = TwoPhotonTimebin(darkmodel, "|0><1|_4", "|1><3|_4", p1, p2, dt=DT,
+                           tb=TB, gaussian_t=12, options=dict(OPTS4))
+    t1, g2, ee = tpb.rho_ee_ee()
+    _, _, ll = tpb.rho_ll_ll()
+    assert ee > 0 and ll > 0
+    # symmetric protocol: EE ~ LL
+    assert np.isclose(ee, ll, rtol=0.2)
+
+
+def test_twophoton_v2_tl_crossvalidation():
+    # the pure-python tl kernel and the batched device kernel must agree
+    p1, p2 = _tpe_pulses()
+    tpb = TwoPhotonTimebinNew(darkmodel, "|0><1|_4", "|1><0|_4", "|1><3|_4",
+                              "|3><1|_4", p1, p2, dt=DT, dim=4, tb=TB,
+                              gaussian_t=12, options=dict(OPTS4))
+    t1a, g2a, eell_a, _, _, G12a = tpb.eell_tl()
+    t1b, g2b, eell_b, G12b = tpb.eell_tl_f()
+    assert np.allclose(G12a, G12b, atol=1e-8)
+    assert np.isclose(eell_a, eell_b, atol=1e-10)
+
+
+def test_twophoton_v2_direct_vs_tl():
+    # the EE diagonal from the direct fan-out must match the tl fast path
+    p1, p2 = _tpe_pulses()
+    tpb = TwoPhotonTimebinNew(darkmodel, "|0><1|_4", "|1><0|_4", "|1><3|_4",
+                              "|3><1|_4", p1, p2, dt=DT, dim=4, tb=TB,
+                              gaussian_t=12, options=dict(OPTS4))
+    _, _, _, ee_direct, *_ = tpb.rho_ee_ee(use_second_zero=True)
+    conc, dm, dm_norm = tpb.calc_densitymatrix_tl(reduced=True)
+    assert np.isclose(dm[0, 0].real, ee_direct, rtol=0.02)
+    # density matrix sanity
+    assert 0 <= conc <= 1
+    assert np.isclose(np.trace(dm_norm), 1.0, atol=1e-10)
+
+
+def test_twophoton_v2_densitymatrix():
+    p1, p2 = _tpe_pulses()
+    tpb = TwoPhotonTimebinNew(darkmodel, "|0><1|_4", "|1><0|_4", "|1><3|_4",
+                              "|3><1|_4", p1, p2, dt=DT, dim=4, tb=TB,
+                              gaussian_t=12, options=dict(OPTS4))
+    conc, dm = tpb.calc_densitymatrix(reduced=True, use_second_zero=True)
+    assert 0 <= conc <= 1
+    # EE and LL populated, diagonal real positive
+    assert dm[0, 0].real > 0 and dm[3, 3].real > 0
+    # timebin protocol: |EE>+|LL> entanglement -> coherence comparable to pops
+    assert abs(dm[0, 3]) > 0.1 * np.sqrt(dm[0, 0].real * dm[3, 3].real)
