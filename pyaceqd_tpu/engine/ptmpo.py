@@ -77,50 +77,54 @@ def liouville_groups(boson_mat, tol_decimals=12):
 
 
 def influence_factors(eta, nu, mu):
-    """b_0 vector (G,) and b_Delta matrices (n_mem-1, G, G).
+    """Influence factors with the layer bond carrying only the D distinct
+    values of d = nu - mu (D <= G; e.g. 5 vs 9 for the biexciton), since
+    b_Delta(c, g) = exp(-d_c (eta_Delta nu_g - eta_Delta^* mu_g)) depends on
+    the later-time index only through d_c.
 
-    b_Delta[c, g] = exp(-(nu_c - mu_c) (eta_Delta nu_g - eta_Delta^* mu_g));
-    b_0[g] uses the same expression at Delta=0 with c=g (self term)."""
-    dnu = nu - mu
-    y = lambda e: np.outer(dnu, e * nu - np.conj(e) * mu)  # (c, g)
-    b0 = np.exp(-np.diag(y(eta[0])))
+    Returns (b0 (G,), bD (n_mem-1, D, G), d_of_g (G,) int)."""
+    dnu = np.round(nu - mu, 12)
+    d_vals, d_of_g = np.unique(dnu, return_inverse=True)
+    y = lambda e: np.outer(d_vals, e * nu - np.conj(e) * mu)  # (D, g)
+    b0 = np.exp(-dnu * (eta[0] * nu - np.conj(eta[0]) * mu))
     bD = np.exp(-np.stack([y(e) for e in eta[1:]]))
-    return b0, bD
+    return b0, bD, d_of_g.astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
 # streaming windowed MPS construction (host)
 # ---------------------------------------------------------------------------
 
-def _apply_layer(chain, b0, bD, w_eff):
+def _apply_layer(chain, b0, bD, d_of_g, w_eff):
     """Multiply the influence factors of a new time step into the chain.
 
     chain: list of (chi_l, G, chi_r) site tensors, oldest first; the new
-    step's factor-carrying bond (dim G) threads right-to-left through the
-    last w_eff sites only — beyond the effective kernel range |eta_Delta| is
-    negligible and b_Delta ~= 1 (the reference's ``dict_zero`` spirit), so
-    older sites are untouched and stay canonical."""
+    step's factor-carrying bond (dim D = #distinct nu-mu values) threads
+    right-to-left through the last w_eff sites only — beyond the effective
+    kernel range |eta_Delta| is negligible and b_Delta ~= 1 (the reference's
+    ``dict_zero`` spirit), so older sites are untouched and stay canonical."""
     W = len(chain)
     G = len(b0)
+    D = bD.shape[1] if len(bD) else 1
     start = max(0, W - w_eff)  # first site the c-line reaches
     new_chain = list(chain[:start])
     for j in range(start, W):
         P = chain[j]
         delta = W - j
-        B = bD[delta - 1]  # (c, g)
+        B = bD[delta - 1]  # (D, g)
         chi_l, _, chi_r = P.shape
         if j == start:
-            T = np.einsum('agr,cg->agrc', P, B).reshape(chi_l, G, chi_r * G)
+            T = np.einsum('agr,cg->agrc', P, B).reshape(chi_l, G, chi_r * D)
         else:
-            T = np.zeros((chi_l, G, G, chi_r, G), dtype=complex)
-            for c in range(G):
+            T = np.zeros((chi_l, D, G, chi_r, D), dtype=complex)
+            for c in range(D):
                 T[:, c, :, :, c] = P * B[c][None, :, None]
-            T = T.reshape(chi_l * G, G, chi_r * G)
+            T = T.reshape(chi_l * D, G, chi_r * D)
         new_chain.append(T)
-    # new site: emits its own value on the bond, weighted by the self term
-    N = np.zeros((G, G, 1), dtype=complex)
+    # new site: emits its own d-value on the bond, weighted by the self term
+    N = np.zeros((D, G, 1), dtype=complex)
     for g in range(G):
-        N[g, g, 0] = b0[g]
+        N[d_of_g[g], g, 0] = b0[g]
     if W == 0 or w_eff == 0:
         N = N.sum(axis=0, keepdims=True)  # no past in range: close immediately
     new_chain.append(N)
@@ -180,7 +184,7 @@ def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
     with chi_0 = chi_n = 1.
     """
     n_mem = len(eta)
-    b0, bD = influence_factors(eta, nu, mu)
+    b0, bD, d_of_g = influence_factors(eta, nu, mu)
     mags = np.abs(eta)
     big = np.where(mags[1:] > eta_cut * mags[0])[0]
     w_eff = int(big[-1] + 1) if len(big) else 1
@@ -188,10 +192,13 @@ def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
     emitted = []
     for step in range(n_steps):
         touched = min(len(chain), w_eff)
-        chain = _apply_layer(chain, b0, bD, w_eff)
+        chain = _apply_layer(chain, b0, bD, d_of_g, w_eff)
         seg = max(0, len(chain) - 1 - touched)  # leftmost modified site index
-        # canonicalize the touched segment, truncate right-to-left (valid:
-        # everything left of each bond is an isometry), re-canonicalize
+        # zip-up truncation right-to-left on the inflated tensors (cheap:
+        # right bonds are already truncated when each site is reached; mildly
+        # suboptimal since the left part is not re-canonicalized yet, so use
+        # a tighter threshold), then canonicalize and truncate properly
+        chain = _svd_sweep_rl(chain, threshold * 0.1, chi_max, stop=seg)
         chain = _qr_sweep_lr(chain, start=seg)
         chain = _svd_sweep_rl(chain, threshold, chi_max, stop=seg)
         chain = _qr_sweep_lr(chain, start=seg)
