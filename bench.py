@@ -19,6 +19,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# honor an explicit JAX_PLATFORMS=cpu even though this machine's
+# sitecustomize re-forces the axon TPU backend via jax.config
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 ACE_SINGLE_CORE_STEPS_PER_SEC = 250.0  # documented estimate, see module docstring
 
 
