@@ -50,6 +50,16 @@ def set_precision(prec: str):
     _PRECISION = prec
     if prec == "double":
         jax.config.update("jax_enable_x64", True)
+    # CRITICAL on TPU: the default matmul precision routes f32 matrix-matrix
+    # products through the MXU in bfloat16 (~3 decimal digits).  Density-
+    # matrix propagation multiplies thousands of near-identity matrices, and
+    # bf16 rounding of the U rho U^dagger sandwich produces O(5%) errors in
+    # decay rates (measured on v5e: exp(-0.94) instead of exp(-1) after 100
+    # steps).  Matvec chains are unaffected (VPU, full f32), which is why the
+    # bug only appears in sandwich/matmul forms.  'highest' forces the
+    # 3-pass f32 MXU algorithm; our matrices are tiny (d<=18, chi<=128), so
+    # the throughput cost is negligible against the correctness requirement.
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def precision() -> str:

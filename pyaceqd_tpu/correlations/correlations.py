@@ -207,8 +207,18 @@ def _tl_two_time(system, t_axis, pulses, t_mem, ops_branch, op_out, op_zero,
         return t_axis, tau, G
 
     if options.get("phonons", False):
-        raise NotImplementedError(
-            "use tl_three_op_two_time_phonons from pyaceqd_tpu.correlations.phonon_tl")
+        # phonon path exists for the sandwich form <A(t) B(t+tau) C(t)> only
+        # (reference correlations.py:866: tl_three_op_two_time_phonons)
+        right = [o for o, f in ops_branch if f == "_right"]
+        left = [o for o, f in ops_branch if f == "_left"]
+        if not (right and left):
+            raise NotImplementedError(
+                "phonon time-local correlations need the A . rho . C sandwich")
+        from pyaceqd_tpu.correlations.phonon_tl import \
+            tl_three_op_two_time_phonons
+        return tl_three_op_two_time_phonons(
+            system, t_axis, *pulses, t_mem=t_mem, opA=right[0], opB=op_out,
+            opC=left[0], tau_max=tau_max, dt=dt, rho0=rho0, options=options)
 
     # QRT with the stationary time-local map everywhere
     tl_map, _ = _tl_setup(system, pulses, t_mem, dt,

@@ -205,6 +205,11 @@ def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
         if len(chain) == n_mem:
             Q, chain = _emit(chain)
             emitted.append(Q)
+    # left-canonicalize the flushed tail so ONLY the final tensor carries the
+    # accumulated global norm (which can exceed float32 range over long
+    # horizons); the assembler rescales that single tensor, which is exactly
+    # invariant under the caps normalization
+    chain = _qr_sweep_lr(chain, start=0)
     emitted.extend(chain)
     assert len(emitted) == n_steps
     return emitted
@@ -245,8 +250,22 @@ def _pad(T, chi):
 
 def assemble_process_tensor(eta, g_of_s, nu, mu, counter_term, n_steps,
                             threshold=1e-8, chi_max=64, verbose=False):
-    tensors = build_pt_tensors(eta, nu, mu, n_steps, threshold=threshold,
-                               chi_max=chi_max, verbose=verbose)
+    # prefer the native (C++/LAPACK) builder; physics is identical (the two
+    # backends differ only by truncation-basis gauge, see tests/test_native.py)
+    tensors = None
+    try:
+        from pyaceqd_tpu.native import build_pt_tensors_native
+        tensors = build_pt_tensors_native(eta, nu, mu, n_steps,
+                                          threshold=threshold, chi_max=chi_max)
+    except Exception:
+        tensors = None
+    if tensors is None:
+        tensors = build_pt_tensors(eta, nu, mu, n_steps, threshold=threshold,
+                                   chi_max=chi_max, verbose=verbose)
+    # the chain is left-canonical with the global norm in the last tensor;
+    # rescale it to O(1) so the device stack is float32-castable.  A single
+    # global tensor scale cancels exactly in the caps normalization below.
+    tensors[-1] = tensors[-1] / np.max(np.abs(tensors[-1]))
     # diagonal Liouville group (nu == mu): all influence factors are exactly 1
     # along it, so the backward product of the chain evaluated there is the
     # environment-trace closure (see module docstring)
@@ -254,13 +273,25 @@ def assemble_process_tensor(eta, g_of_s, nu, mu, counter_term, n_steps,
     chi = max(max(T.shape[0], T.shape[2]) for T in tensors)
     stack = np.stack([_pad(T, chi) for T in tensors])
     n = len(tensors)
+    # Balanced backward recursion.  The raw closure products grow/shrink
+    # geometrically (measured ~3x/step for the biexciton: 1e142 over 300
+    # steps), overflowing float32 and eventually float64.  Any PER-STEP
+    # rescaling stack[m] -> alpha_m stack[m] is exactly consistent as long as
+    # the caps rows are computed from the rescaled stack and anchored at
+    # caps[0][0] = 1: the readout y_m = W (caps[m] . A_m) pairs each caps row
+    # with the forward state carrying the same prefix of alphas.  Choosing
+    # alpha_m = 1/||caps_raw[m]|| keeps BOTH the device caps and the running
+    # A at O(1).
     caps = np.zeros((n + 1, chi), dtype=complex)
     caps[n, 0] = 1.0
     for m in range(n - 1, -1, -1):
-        caps[m] = stack[m][:, g_diag, :] @ caps[m + 1]
-    # global normalization: Tr rho(0) = 1 requires cap_0 = 1 on the dim-1 bond
-    c0 = caps[0][0]
-    caps = caps / c0
+        v = stack[m][:, g_diag, :] @ caps[m + 1]
+        s = np.max(np.abs(v))
+        s = s if s > 0 else 1.0
+        stack[m] = stack[m] / s
+        caps[m] = v / s
+    # anchor: Tr rho(0) = 1 requires caps[0] = e_0 on the dim-1 start bond
+    caps = caps / caps[0][0]
     return ProcessTensor(stack=stack, caps=caps, g_of_s=np.asarray(g_of_s),
                          counter_term=np.asarray(counter_term), chi=chi,
                          n_mem=len(eta))
@@ -283,7 +314,34 @@ def _cache_path(system_prefix, ae, temperature, threshold, t_mem, dt, J_file,
         base = "{}_{}nm_{}k_th{}_tmem{}_dt{}.ptr".format(
             system_prefix, ae, temperature, threshold, t_mem, dt)
     d = temp_dir if temp_dir else constants.temp_dir
-    return os.path.join(d, base + "_ptmpo.npz")
+    return os.path.join(d, base + "_ptmpo_v2.npz")
+
+
+def rebalance(pt: ProcessTensor) -> ProcessTensor:
+    """Re-balance the per-step scales of an assembled PT so both the caps and
+    the running contraction state stay O(1) on device (float32-safe).
+
+    Rescaling stack[m] -> alpha_m stack[m] with caps rows recomputed for the
+    scaled stack is exactly output-invariant (the readout pairs each caps row
+    with the forward state carrying the same alpha prefix).  Here we pick
+    alpha_m so every caps row has unit max-abs.  Used for caches written
+    before balancing; idempotent."""
+    caps = np.array(pt.caps, dtype=complex, copy=True)
+    stack = np.array(pt.stack, dtype=complex, copy=True)
+    n = stack.shape[0]
+    norms = np.max(np.abs(caps), axis=1)          # (n+1,)
+    norms = np.where(norms > 0, norms, 1.0)
+    if np.allclose(norms, 1.0, rtol=1e-6):
+        return pt
+    caps = caps / norms[:, None]
+    # need prod_{k<m} alpha_k = norms[m] (so A_new stays paired with
+    # caps_new); norms[0] = 1 since caps_old[0] = e_0
+    alpha = norms[1:] / norms[:-1]                # (n,)
+    stack = stack * alpha[:, None, None, None]
+    caps = caps / caps[0][0]
+    return ProcessTensor(stack=stack, caps=caps, g_of_s=pt.g_of_s,
+                         counter_term=pt.counter_term, chi=pt.chi,
+                         n_mem=pt.n_mem)
 
 
 def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
@@ -320,7 +378,7 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
             pt = ProcessTensor(stack=z["stack"], caps=z["caps"],
                                g_of_s=z["g_of_s"], counter_term=z["counter"],
                                chi=int(z["chi"]), n_mem=int(z["n_mem"]))
-            return pt.prefix(n_steps)
+            return rebalance(pt).prefix(n_steps)
 
     if verbose:
         print("{} not found (or too short). Calculating...".format(path))

@@ -1,0 +1,127 @@
+"""ctypes bindings for the native PT-MPO builder (native/ptmpo_native.cpp).
+
+The builder is the host-side "graph construction" stage — the counterpart of
+the reference's external C++ PT-MPO engine (ACE, driven through
+pyaceqd/general_system.py) — producing the per-step process-tensor MPO that
+the XLA propagation path consumes.  Falls back to the pure-numpy
+implementation in engine/ptmpo.py when the shared library has not been built
+(``make -C native``) or when PYACEQD_TPU_NATIVE=0.
+"""
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path():
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "native", "libptmpo_native.so")
+
+
+def _build_lib():
+    """Best-effort compile of the native library (g++ + system LAPACK)."""
+    import subprocess
+    native_dir = os.path.dirname(_lib_path())
+    try:
+        subprocess.run(["make", "-C", native_dir], check=True,
+                       capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def _find_openblas():
+    """Locate scipy's bundled LP64 OpenBLAS (symbols prefixed scipy_)."""
+    import glob
+    try:
+        import scipy
+        libs = os.path.join(os.path.dirname(os.path.dirname(scipy.__file__)),
+                            "scipy.libs")
+        hits = glob.glob(os.path.join(libs, "libscipy_openblas-*.so"))
+        if hits:
+            return hits[0]
+    except Exception:
+        pass
+    return ""
+
+
+def get_lib(auto_build=True):
+    """Load (building if necessary) the native library, or None."""
+    global _LIB, _TRIED
+    if _LIB is not None:
+        return _LIB
+    if _TRIED:
+        return None
+    _TRIED = True
+    if os.environ.get("PYACEQD_TPU_NATIVE", "1") == "0":
+        return None
+    path = _lib_path()
+    if not os.path.exists(path) and auto_build:
+        if not _build_lib():
+            return None
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.pt_init.restype = ctypes.c_int
+    lib.pt_init.argtypes = [ctypes.c_char_p]
+    rc = lib.pt_init(_find_openblas().encode())
+    if rc < 0:
+        return None
+    c128 = np.ctypeslib.ndpointer(np.complex128, flags="C_CONTIGUOUS")
+    i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.pt_build.restype = ctypes.c_int
+    lib.pt_build.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        c128, c128, i32, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        c128, i32]
+    _LIB = lib
+    return _LIB
+
+
+def build_pt_tensors_native(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
+                            eta_cut=1e-10, verbose=False):
+    """Native equivalent of engine.ptmpo.build_pt_tensors.
+
+    Returns a list of n_steps (chi_l, G, chi_r) complex tensors, or None if
+    the native library is unavailable (caller falls back to numpy)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from pyaceqd_tpu.engine.ptmpo import influence_factors
+    n_mem = len(eta)
+    b0, bD, d_of_g = influence_factors(eta, nu, mu)
+    G = len(b0)
+    D = bD.shape[1] if len(bD) else 1
+    mags = np.abs(eta)
+    big = np.where(mags[1:] > eta_cut * mags[0])[0]
+    w_eff = int(big[-1] + 1) if len(big) else 1
+
+    b0 = np.ascontiguousarray(b0, dtype=np.complex128)
+    bD = np.ascontiguousarray(bD, dtype=np.complex128)
+    if bD.size == 0:
+        bD = np.zeros((1, D, G), dtype=np.complex128)
+    d_of_g = np.ascontiguousarray(d_of_g, dtype=np.int32)
+
+    chi_pad = int(chi_max)
+    out = np.zeros((n_steps, chi_pad, G, chi_pad), dtype=np.complex128)
+    dims = np.zeros((n_steps, 2), dtype=np.int32)
+    rc = lib.pt_build(n_steps, n_mem, G, D, w_eff, b0, bD.reshape(-1),
+                      d_of_g, float(threshold), int(chi_max), chi_pad,
+                      out.reshape(-1), dims.reshape(-1))
+    if rc == -1:  # a bond exceeded the pad (shouldn't happen: pad == chi_max)
+        chi_pad = 2 * chi_pad
+        out = np.zeros((n_steps, chi_pad, G, chi_pad), dtype=np.complex128)
+        rc = lib.pt_build(n_steps, n_mem, G, D, w_eff, b0, bD.reshape(-1),
+                          d_of_g, float(threshold), int(chi_max), chi_pad,
+                          out.reshape(-1), dims.reshape(-1))
+    if rc != 0:
+        return None
+    return [np.ascontiguousarray(out[i, :dims[i, 0], :, :dims[i, 1]])
+            for i in range(n_steps)]

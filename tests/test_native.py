@@ -1,0 +1,83 @@
+"""Native (C++/LAPACK) PT-MPO builder vs the pure-numpy implementation.
+
+The two backends produce gauge-different but physically identical process
+tensors; equality is checked on propagated observables (gauge-invariant).
+Skipped when the shared library cannot be built/loaded."""
+
+import numpy as np
+import pytest
+from scipy.linalg import expm
+
+from pyaceqd_tpu import native
+from pyaceqd_tpu.constants import hbar
+from pyaceqd_tpu.engine import ptmpo, spectral
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="native ptmpo library unavailable")
+
+
+def _assemble(tensors, nu, mu, n_mem):
+    g_diag = int(np.where(np.isclose(nu, mu))[0][0])
+    chi = max(max(t.shape[0], t.shape[2]) for t in tensors)
+    stack = np.stack([ptmpo._pad(t, chi) for t in tensors])
+    caps = np.zeros((len(tensors) + 1, chi), dtype=complex)
+    caps[len(tensors), 0] = 1.0
+    for m in range(len(tensors) - 1, -1, -1):
+        caps[m] = stack[m][:, g_diag, :] @ caps[m + 1]
+    caps = caps / caps[0][0]
+    return ptmpo.ProcessTensor(stack=stack, caps=caps,
+                               g_of_s=np.arange(len(nu)),
+                               counter_term=np.zeros((2, 2)), chi=chi,
+                               n_mem=n_mem)
+
+
+@pytest.fixture(scope="module")
+def eta():
+    J = spectral.QDPhononJ(ae=3.0)
+    return spectral.eta_coefficients(J, 0.1, 16, 4.0)
+
+
+def test_native_matches_numpy_dynamics(eta):
+    ev = np.array([0.0, 1.0])
+    nu, mu = np.repeat(ev, 2), np.tile(ev, 2)
+    n = 30
+    ref = ptmpo.build_pt_tensors(eta, nu, mu, n, threshold=1e-8, chi_max=64)
+    nat = native.build_pt_tensors_native(eta, nu, mu, n, threshold=1e-8,
+                                         chi_max=64)
+    assert nat is not None and len(nat) == n
+    ref_pt = _assemble(ref, nu, mu, len(eta))
+    nat_pt = _assemble(nat, nu, mu, len(eta))
+
+    dt = 0.1
+    om = np.pi / (n * dt) / 2
+    H = np.array([[0, 1], [1, 0]], dtype=complex)
+    U = np.stack([expm(-1j * dt / hbar * (0.5 * hbar * om * H))] * n)
+    rho0 = np.array([1, 0, 0, 0], dtype=complex)
+    W = np.zeros((2, 4), dtype=complex)
+    W[0, 0] = 1
+    W[1, 3] = 1
+    outs = []
+    for pt in (ref_pt, nat_pt):
+        ys, _ = ptmpo.propagate_pt(pt, U, None, rho0, W,
+                                   np.zeros((0, 4, 4)), np.zeros(0, np.int32))
+        outs.append(np.real(np.asarray(ys)))
+    assert np.max(np.abs(outs[0] - outs[1])) < 1e-8
+    # trace preserved on both
+    assert np.allclose(outs[1].sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_native_bond_dims_bounded(eta):
+    ev = np.array([0.0, 1.0])
+    nu, mu = np.repeat(ev, 2), np.tile(ev, 2)
+    nat = native.build_pt_tensors_native(eta, nu, mu, 25, threshold=1e-7,
+                                         chi_max=16)
+    assert all(t.shape[0] <= 16 and t.shape[2] <= 16 for t in nat)
+    assert nat[0].shape[0] == 1 and nat[-1].shape[2] == 1
+
+
+def test_env_var_disables_native(eta, monkeypatch):
+    monkeypatch.setenv("PYACEQD_TPU_NATIVE", "0")
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", False)
+    assert native.get_lib() is None
+    monkeypatch.setattr(native, "_TRIED", False)

@@ -87,7 +87,7 @@ def test_pt_cache_roundtrip(cache_dir):
     res2 = _ibm_run(cache_dir, t_end=4.0)
     assert np.allclose(res1, res2)
     import glob
-    assert glob.glob(str(cache_dir) + "/*_ptmpo.npz")
+    assert glob.glob(str(cache_dir) + "/*_ptmpo*.npz")
 
 
 def test_phonon_mto(cache_dir):
