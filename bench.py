@@ -39,7 +39,10 @@ def main():
     t_mem = 6.4
     t_end = 30.0
     n_steps = int(round(t_end / dt))
-    n_areas = 64  # batched sweep: every lane is an independent propagation
+    # batched sweep: every lane is an independent propagation (a 64x64
+    # pulse-area/detuning map); single-chip HBM supports 4096 lanes x 300
+    # steps in one compiled program (8192 OOMs on eigh tile-padding temps)
+    n_areas = 4096
 
     spec, _ = ham.build_system(
         system_op=["-4.0*|3><3|_4"],
@@ -69,7 +72,7 @@ def main():
 
     # timed runs (program cached; each run = n_areas independent PT-MPO
     # propagations of n_steps each)
-    reps = 5
+    reps = 3
     t0 = time.time()
     for _ in range(reps):
         t, outs = area_sweep(spec, [p_unit], areas, 0, t_end, dt, pt=pt)

@@ -89,13 +89,22 @@ def _area_sweep_pt_core(stack, caps, g_of_s, H0, C, F_unit, scales, E_half,
 
 
 def area_sweep(spec, pulses_unit, scales, t_start, t_end, dt, pt=None,
-               mesh=None):
+               mesh=None, chunk=4096):
     """Propagate all sweep points of a linear drive-amplitude family at once.
 
     spec: SystemSpec from engine.hamiltonian.build_system; pulses_unit: the
     pulse list at unit amplitude; scales: (B,) drive multipliers.  With a mesh
-    the batch axis is sharded over it.  Returns (t (n+1,), outputs (B, n+1,
-    n_out) complex)."""
+    the batch axis is sharded over it.  Batches beyond ``chunk`` lanes loop on
+    the host (one compiled program per chunk shape) — the per-step eigh temps
+    of very large single calls exceed HBM (measured OOM at 8192 lanes x 300
+    steps on v5e, 32x tile-padding on (B, n, d, d) f32).  Returns (t (n+1,),
+    outputs (B, n+1, n_out) complex)."""
+    scales = np.asarray(scales)
+    if len(scales) > chunk:
+        parts = [area_sweep(spec, pulses_unit, scales[i:i + chunk], t_start,
+                            t_end, dt, pt=pt, mesh=mesh, chunk=chunk)
+                 for i in range(0, len(scales), chunk)]
+        return parts[0][0], np.concatenate([p[1] for p in parts], axis=0)
     cdt = config.cdtype()
     rdt = config.rdtype()
     n = int(round((t_end - t_start) / dt))
