@@ -69,6 +69,9 @@ extern "C" int pt_init(const char* blas_path) {
   return (zgemm_ && zgelqf_ && zunglq_ && zgesdd_) ? (h1 ? 1 : 2) : -1;
 }
 
+static int g_use_rsvd = 0;  // opt-in: ~1.2x faster zip-up but O(1e-5) observable drift
+extern "C" void pt_set_rsvd(int on) { g_use_rsvd = on; }
+
 namespace {
 
 struct Tensor {
@@ -183,15 +186,83 @@ void qr_sweep_lr(std::vector<Tensor>& chain, int start) {
   }
 }
 
-// chain[i] (a,g,b) -> SVD of (a, g*b), truncate; absorb U*S into chain[i-1]
+// Randomized truncated SVD of row-major M (m,n) targeting rank <= k_target:
+// range finder with one power iteration, then an exact SVD of the small
+// projected matrix (Halko-Martinsson-Tropp).  Used for the zip-up
+// pre-truncation where m = chi*D rows but only <= chi_max survive; a full
+// zgesdd would compute all m singular values.  Deterministic (fixed-seed
+// xorshift) so cached PT builds are reproducible bit-for-bit.
+void rsvd_rowmajor(std::vector<cplx>& M, int m, int n, int k_target,
+                   std::vector<cplx>& U, std::vector<double>& S,
+                   std::vector<cplx>& Vh) {
+  int k = std::min({k_target, m, n});
+  // Gaussian-ish random test matrix Omega (n, k) via Box-Muller on xorshift64
+  uint64_t st = 0x9e3779b97f4a7c15ull;
+  auto rnd = [&st]() {
+    st ^= st << 13; st ^= st >> 7; st ^= st << 17;
+    return (double)(st >> 11) * (1.0 / 9007199254740992.0);  // [0,1)
+  };
+  std::vector<cplx> Om(size_t(n) * k);
+  for (auto& x : Om) {
+    double u1 = rnd(), u2 = rnd();
+    double r = std::sqrt(-2.0 * std::log(u1 + 1e-300));
+    x = cplx(r * std::cos(2 * M_PI * u2), r * std::sin(2 * M_PI * u2));
+  }
+  // Y = M Om (m, k)
+  std::vector<cplx> Y(size_t(m) * k);
+  matmul(M.data(), Om.data(), Y.data(), m, n, k);
+  // power iterations (with QR re-orthonormalization for stability):
+  // Y <- M (M^H Y)
+  for (int q = 0; q < 2; ++q) {
+    std::vector<cplx> Qy, Rdisc2;
+    int kq = 0;
+    qr_rowmajor(Y, m, k, Qy, Rdisc2, kq);
+    std::vector<cplx> Yc(size_t(kq) * m);
+    for (int i = 0; i < m; ++i)
+      for (int c = 0; c < kq; ++c) Yc[size_t(c) * m + i] = std::conj(Qy[size_t(i) * kq + c]);
+    std::vector<cplx> Z(size_t(kq) * n);
+    matmul(Yc.data(), M.data(), Z.data(), kq, m, n);
+    std::vector<cplx> Zh(size_t(n) * kq);
+    for (int c = 0; c < kq; ++c)
+      for (int j = 0; j < n; ++j) Zh[size_t(j) * kq + c] = std::conj(Z[size_t(c) * n + j]);
+    Y.assign(size_t(m) * kq, cplx(0, 0));
+    matmul(M.data(), Zh.data(), Y.data(), m, n, kq);
+    k = kq;
+  }
+  // orthonormalize the range: QR of Y (m, k)
+  std::vector<cplx> Q, Rdisc;
+  int kr = 0;
+  qr_rowmajor(Y, m, k, Q, Rdisc, kr);
+  // C = Q^H M (kr, n)
+  std::vector<cplx> Qc(size_t(kr) * m);
+  for (int i = 0; i < m; ++i)
+    for (int c = 0; c < kr; ++c) Qc[size_t(c) * m + i] = std::conj(Q[size_t(i) * kr + c]);
+  std::vector<cplx> C(size_t(kr) * n);
+  matmul(Qc.data(), M.data(), C.data(), kr, m, n);
+  // exact SVD of the small C
+  std::vector<cplx> Uc;
+  svd_rowmajor(C, kr, n, Uc, S, Vh);
+  // U = Q Uc (m, kk)
+  int kk = int(S.size());
+  U.resize(size_t(m) * kk);
+  matmul(Q.data(), Uc.data(), U.data(), m, kr, kk);
+}
+
+// chain[i] (a,g,b) -> SVD of (a, g*b), truncate; absorb U*S into chain[i-1].
+// use_rsvd: allow the randomized path when the row count far exceeds what can
+// survive truncation (zip-up stage; the final sweep stays exact).
 void svd_sweep_rl(std::vector<Tensor>& chain, double thr, int chi_max,
-                  int stop) {
+                  int stop, bool use_rsvd = false) {
   for (int i = int(chain.size()) - 1; i > stop; --i) {
     Tensor& T = chain[i];
     int m = T.a, n = T.g * T.b;
     std::vector<cplx> U, Vh;
     std::vector<double> S;
-    svd_rowmajor(T.data, m, n, U, S, Vh);
+    int k_target = chi_max + 32;  // oversampling margin
+    if (use_rsvd && g_use_rsvd && m > 2 * k_target && n > k_target)
+      rsvd_rowmajor(T.data, m, n, k_target, U, S, Vh);
+    else
+      svd_rowmajor(T.data, m, n, U, S, Vh);
     int k = int(S.size());
     int keep = 1;
     if (S[0] > 0) {
@@ -298,7 +369,7 @@ int pt_build(int n_steps, int n_mem, int G, int D, int w_eff,
     int touched = std::min(int(chain.size()), w_eff);
     apply_layer(chain, b0, bD, d_of_g, G, D, w_eff);
     int seg = std::max(0, int(chain.size()) - 1 - touched);
-    svd_sweep_rl(chain, threshold * 0.1, chi_max, seg);  // zip-up
+    svd_sweep_rl(chain, threshold * 0.1, chi_max, seg, /*use_rsvd=*/true);
     qr_sweep_lr(chain, seg);
     svd_sweep_rl(chain, threshold, chi_max, seg);
     qr_sweep_lr(chain, seg);
