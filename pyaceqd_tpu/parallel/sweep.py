@@ -23,69 +23,104 @@ from pyaceqd_tpu.parallel import mesh as mesh_util
 from pyaceqd_tpu.utils.cplx import hostsafe
 
 
-@hostsafe(static_argnames=("has_diss",))
-def _area_sweep_core(H0, C, F_unit, scales, E_half, rho0_vec, W, dt, has_diss):
-    """outputs[b, k, m] = <W_m>(t_k) for drive field scales[b] * F_unit."""
+def _mm_small(A, B_):
+    """Batched (..., d, d) @ (..., d, d) as broadcast-multiply-reduce (VPU) —
+    dot_general on d<=6 matrices wastes the 128-wide MXU tiles."""
+    return (A[..., :, :, None] * B_[..., None, :, :]).sum(axis=-2)
+
+
+def _batched_unitaries(H0, C, F_unit, scales, dt, n_sq):
+    """U[n, B, d, d] = expm(-i dt/hbar H) by scaling-and-squaring Taylor.
+
+    Replaces the batched eigh (the TPU sort-based eigh took 1/3 of the sweep
+    wall time for 1.2M 4x4 matrices); a Taylor-9 series after n_sq halvings
+    is exact to below f32 eps for ||dt H/hbar|| / 2^n_sq <= 0.5 — n_sq is
+    chosen host-side from a norm bound in area_sweep."""
+    f = scales[:, None, None].astype(F_unit.dtype) * F_unit[None]   # (B, n, c)
+    Hk = H0[None, None] + jnp.einsum('Bnc,cij->Bnij', f, C) \
+        + jnp.einsum('Bnc,cij->Bnij', jnp.conj(f),
+                     jnp.conj(jnp.swapaxes(C, 1, 2)))
+    d = H0.shape[0]
+    A = jax.lax.complex(jnp.zeros_like(jnp.real(Hk)),
+                        -(dt / hbar) * jnp.ones(())).astype(Hk.dtype) * Hk
+    A = A / (2.0 ** n_sq)
+    eye = jnp.eye(d, dtype=A.dtype)
+    U = eye + A / 9.0
+    for k in range(8, 0, -1):
+        U = eye + _mm_small(A, U) / k
+    for _ in range(n_sq):
+        U = _mm_small(U, U)
+    return jnp.swapaxes(U, 0, 1)                                    # (n, B, d, d)
+
+
+def _vpu_sandwich(A, Uk):
+    """rho' = U rho U^H per (lane, bond-row), as broadcast-multiply-reduce.
+
+    A: (B, r, d, d), Uk: (B, d, d).  dot_general on 4x4 matrices pads the MXU
+    32x (measured 2.6x slower than this VPU form on v5e); the elementwise
+    broadcast keeps the op on the vector unit."""
+    t1 = (Uk[:, None, :, :, None] * A[:, :, None, :, :]).sum(axis=3)
+    return (t1[:, :, :, None, :] * jnp.conj(Uk)[:, None, None, :, :]).sum(axis=4)
+
+
+@hostsafe(static_argnames=("has_diss", "n_sq"))
+def _area_sweep_core(H0, C, F_unit, scales, E_half, rho0_vec, W, dt, has_diss,
+                     n_sq):
+    """outputs[b, k, m] = <W_m>(t_k) for drive field scales[b] * F_unit.
+
+    Batch-explicit layout: the lane axis rides inside every op (one merged
+    (B, d2) @ (d2, d2) dissipator matmul, VPU sandwich) instead of vmapping
+    tiny per-lane ops — 2.7x on v5e at 4096 lanes."""
     d = H0.shape[0]
     d2 = d * d
+    B = scales.shape[0]
+    U = _batched_unitaries(H0, C, F_unit, scales, dt, n_sq)
 
-    def one(scale):
-        f = scale.astype(F_unit.dtype) * F_unit
-        Hk = H0[None] + jnp.einsum('nc,cij->nij', f, C) \
-            + jnp.einsum('nc,cij->nij', jnp.conj(f), jnp.conj(jnp.swapaxes(C, 1, 2)))
-        w, V = jnp.linalg.eigh(Hk)
-        phase = jnp.exp(jax.lax.complex(jnp.zeros_like(w), -(dt / hbar) * w)).astype(V.dtype)
-        U = jnp.einsum('nik,nk,njk->nij', V, phase, jnp.conj(V))
+    def body(rho, Uk):
+        if has_diss:
+            rho = rho @ E_half.T
+        rm = _vpu_sandwich(rho.reshape(B, 1, d, d), Uk)
+        rho = rm.reshape(B, d2)
+        if has_diss:
+            rho = rho @ E_half.T
+        return rho, rho @ W.T
 
-        def body(rho, Uk):
-            if has_diss:
-                rho = E_half @ rho
-            rho = (Uk @ rho.reshape(d, d) @ jnp.conj(Uk).T).reshape(d2)
-            if has_diss:
-                rho = E_half @ rho
-            return rho, W @ rho
-
-        rho_f, ys = jax.lax.scan(body, rho0_vec, U)
-        return jnp.concatenate([(W @ rho0_vec)[None], ys], axis=0)
-
-    return jax.vmap(one)(scales)
+    rho0_b = jnp.broadcast_to(rho0_vec[None], (B, d2))
+    rho_f, ys = jax.lax.scan(body, rho0_b, U)
+    y0 = (rho0_b @ W.T)[:, None]
+    return jnp.concatenate([y0, jnp.swapaxes(ys, 0, 1)], axis=1)
 
 
-@hostsafe(static_argnames=("has_diss",))
+@hostsafe(static_argnames=("has_diss", "n_sq"))
 def _area_sweep_pt_core(stack, caps, g_of_s, H0, C, F_unit, scales, E_half,
-                        rho0_vec, W, dt, has_diss):
-    """Phonon-dressed sweep: each branch runs the PT contraction."""
+                        rho0_vec, W, dt, has_diss, n_sq):
+    """Phonon-dressed sweep: every lane runs the PT contraction.
+
+    Batch-explicit like _area_sweep_core; the PT bond contraction is one
+    dot_general with the Liouville index batched and K = M = chi (good MXU
+    shapes), the U rho U^H sandwich stays on the VPU."""
     d = H0.shape[0]
     d2 = d * d
     chi = stack.shape[1]
+    B = scales.shape[0]
+    U = _batched_unitaries(H0, C, F_unit, scales, dt, n_sq)
+    A0 = jnp.zeros((B, chi, d2), dtype=rho0_vec.dtype).at[:, 0].set(rho0_vec[None])
 
-    def one(scale):
-        f = scale.astype(F_unit.dtype) * F_unit
-        Hk = H0[None] + jnp.einsum('nc,cij->nij', f, C) \
-            + jnp.einsum('nc,cij->nij', jnp.conj(f), jnp.conj(jnp.swapaxes(C, 1, 2)))
-        w, V = jnp.linalg.eigh(Hk)
-        phase = jnp.exp(jax.lax.complex(jnp.zeros_like(w), -(dt / hbar) * w)).astype(V.dtype)
-        U = jnp.einsum('nik,nk,njk->nij', V, phase, jnp.conj(V))
-        A0 = jnp.zeros((chi, d2), dtype=rho0_vec.dtype).at[0].set(rho0_vec)
+    def body(A, xs):
+        Uk, Qk, cap_k = xs
+        y = jnp.einsum('a,Bas,ms->Bm', cap_k, A, W)
+        if has_diss:
+            A = (A.reshape(B * chi, d2) @ E_half.T).reshape(B, chi, d2)
+        Am = _vpu_sandwich(A.reshape(B, chi, d, d), Uk)
+        A = Am.reshape(B, chi, d2)
+        if has_diss:
+            A = (A.reshape(B * chi, d2) @ E_half.T).reshape(B, chi, d2)
+        Qs = Qk[:, g_of_s, :]
+        return jnp.einsum('asb,Bas->Bbs', Qs, A), y
 
-        def body(A, xs):
-            Uk, Qk, cap_k = xs
-            y = W @ (cap_k @ A)
-            if has_diss:
-                A = A @ E_half.T
-            Am = A.reshape(chi, d, d)
-            Am = jnp.einsum('ik,akl,jl->aij', Uk, Am, jnp.conj(Uk))
-            A = Am.reshape(chi, d2)
-            if has_diss:
-                A = A @ E_half.T
-            Qs = Qk[:, g_of_s, :]
-            return jnp.einsum('asb,as->bs', Qs, A), y
-
-        A_f, ys = jax.lax.scan(body, A0, (U, stack, caps[:-1]))
-        y_last = W @ (caps[-1] @ A_f)
-        return jnp.concatenate([ys, y_last[None]], axis=0)
-
-    return jax.vmap(one)(scales)
+    A_f, ys = jax.lax.scan(body, A0, (U, stack, caps[:-1]))
+    y_last = jnp.einsum('a,Bas,ms->Bm', caps[-1], A_f, W)
+    return jnp.concatenate([jnp.swapaxes(ys, 0, 1), y_last[:, None]], axis=1)
 
 
 def area_sweep(spec, pulses_unit, scales, t_start, t_end, dt, pt=None,
@@ -129,15 +164,22 @@ def area_sweep(spec, pulses_unit, scales, t_start, t_end, dt, pt=None,
     else:
         scales_dev, n_valid = scales, len(scales)
 
+    # squaring count for the Taylor expm: host-side 1-norm bound on dt H/hbar
+    h_bound = np.abs(spec.H0).sum(axis=1).max()
+    if len(scales):
+        h_bound += 2 * np.max(np.abs(scales)) * np.max(
+            np.abs(F_unit)) * sum(np.abs(Cc).sum(axis=1).max() for Cc in C)
+    n_sq = max(0, int(np.ceil(np.log2(max(dt / hbar * h_bound, 0.25) / 0.5))))
+
     if pt is not None:
         pt = pt.prefix(n)
         outs = _area_sweep_pt_core(
             pt.stack.astype(cdt), pt.caps.astype(cdt),
             np.asarray(pt.g_of_s, dtype=np.int32), spec.H0.astype(cdt), C,
             F_unit.astype(cdt), scales_dev, E_half, rho0_vec, W, rdt(dt),
-            has_diss=has_diss)
+            has_diss=has_diss, n_sq=n_sq)
     else:
         outs = _area_sweep_core(spec.H0.astype(cdt), C, F_unit.astype(cdt),
                                 scales_dev, E_half, rho0_vec, W, rdt(dt),
-                                has_diss=has_diss)
+                                has_diss=has_diss, n_sq=n_sq)
     return t, np.asarray(outs)[:n_valid]
