@@ -34,7 +34,7 @@ from pyaceqd_tpu.ops.dsl import parse_operator
 def _sys_step(rho, Uk, E_half, d, has_diss):
     if has_diss:
         rho = E_half @ rho
-    rho = (Uk @ rho.reshape(d, d) @ jnp.conj(Uk).T).reshape(d * d)
+    rho = superop.vpu_sandwich(rho.reshape(d, d), Uk).reshape(d * d)
     if has_diss:
         rho = E_half @ rho
     return rho

@@ -29,6 +29,7 @@ import numpy as np
 import scipy.linalg
 
 from pyaceqd_tpu import config
+from pyaceqd_tpu.ops import superop
 from pyaceqd_tpu.constants import hbar
 from pyaceqd_tpu.utils.cplx import hostsafe
 
@@ -107,8 +108,7 @@ def propagate(U, E_half, rho0_vec, W, mto_sops, mto_ks,
     def sys_step(rho, Uk):
         if has_diss:
             rho = E_half @ rho
-        rm = Uk @ rho.reshape(d, d) @ jnp.conj(Uk).T
-        rho = rm.reshape(d2)
+        rho = superop.vpu_sandwich(rho.reshape(d, d), Uk).reshape(d2)
         if has_diss:
             rho = E_half @ rho
         return rho

@@ -50,6 +50,7 @@ import numpy as np
 
 from pyaceqd_tpu import config, constants
 from pyaceqd_tpu.engine import spectral
+from pyaceqd_tpu.ops import superop
 from pyaceqd_tpu.utils.cplx import hostsafe
 
 hbar = constants.hbar
@@ -422,7 +423,7 @@ def _propagate_pt_core(stack, caps, g_of_s, U, E_half, rho0_vec, W, mto_sops,
         if has_diss:
             A = A @ E_half.T
         Am = A.reshape(chi, d, d)
-        Am = jnp.einsum('ik,akl,jl->aij', Uk, Am, jnp.conj(Uk))
+        Am = superop.vpu_sandwich(Am, Uk)
         A = Am.reshape(chi, d2)
         if has_diss:
             A = A @ E_half.T

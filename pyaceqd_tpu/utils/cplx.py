@@ -80,21 +80,34 @@ def hostsafe(fn=None, *, static_argnames=()):
     if fn is None:
         return functools.partial(hostsafe, static_argnames=static_argnames)
 
-    jitted_plain = jax.jit(fn, static_argnames=static_argnames)
+    import inspect
+    sig = inspect.signature(fn)
+    statics = tuple(static_argnames)
+    jitted_plain = jax.jit(fn, static_argnames=statics)
 
-    @functools.partial(jax.jit, static_argnames=static_argnames)
-    def inner(*args, **kwargs):
-        args = jax.tree_util.tree_map(_join_traced, args,
-                                      is_leaf=lambda x: isinstance(x, CPair))
-        out = fn(*args, **kwargs)
+    # inner takes everything by keyword so static_argnames bind regardless of
+    # whether the caller passed them positionally (jax.jit can resolve
+    # positional statics only against the real signature, which a *args
+    # trampoline doesn't have)
+    @functools.partial(jax.jit, static_argnames=statics)
+    def inner(**kw):
+        stat = {k: kw[k] for k in kw if k in statics}
+        arr = {k: kw[k] for k in kw if k not in statics}
+        arr = jax.tree_util.tree_map(_join_traced, arr,
+                                     is_leaf=lambda x: isinstance(x, CPair))
+        out = fn(**arr, **stat)
         return jax.tree_util.tree_map(_split_traced, out)
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         if not _needs_hostsafe():
             return jitted_plain(*args, **kwargs)
-        host_args = jax.tree_util.tree_map(_split_host, args)
-        out = inner(*host_args, **kwargs)
+        bound = sig.bind(*args, **kwargs)
+        bound.apply_defaults()
+        host = {k: (v if k in statics
+                    else jax.tree_util.tree_map(_split_host, v))
+                for k, v in bound.arguments.items()}
+        out = inner(**host)
         return jax.tree_util.tree_map(_join_host, out,
                                       is_leaf=lambda x: isinstance(x, CPair))
 
