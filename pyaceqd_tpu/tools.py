@@ -65,6 +65,12 @@ def construct_t(t0, tend, dt_small=0.1, dt_big=1.0, dt_exp=None, *pulses, factor
                 simple_exp=False, gaussian_t=False, add_tend=True):
     """t-axis with ``dt_small`` sampling inside +-factor_tau*tau of each pulse and
     ``dt_big`` elsewhere; optional exponential tail.  (reference: pyaceqd/tools.py:46-107)"""
+    # many call sites (incl. the reference's own, e.g. onephoton.py:84) pass
+    # pulses right after dt_big, so the first pulse lands in the dt_exp slot;
+    # treat a pulse-like dt_exp as the first pulse
+    if dt_exp is not None and hasattr(dt_exp, "get_total"):
+        pulses = (dt_exp,) + tuple(pulses)
+        dt_exp = None
     if dt_exp is None:
         dt_exp = dt_small
     t0s, taus = [], []
@@ -84,6 +90,11 @@ def construct_t(t0, tend, dt_small=0.1, dt_big=1.0, dt_exp=None, *pulses, factor
     order = np.argsort(start_v)
     intervals = [[start_v[i], end_v[i]] for i in order]
     intervals = _merge_intervals(intervals)
+    if not intervals:  # no pulse in range: uniform coarse grid
+        ts = [np.arange(t0, tend, dt_big)]
+        if add_tend:
+            ts.append(np.array([tend]))
+        return np.concatenate(ts, axis=0)
     if intervals[0][0] < t0:
         print("WARNING: t0 is greater than the start of the first pulse")
     if intervals[-1][1] > tend:
