@@ -16,7 +16,7 @@ os.makedirs(tmp, exist_ok=True)
 p = ChirpedPulse(tau_0=3, e_start=0, alpha=0, e0=1, t0=10, polar_x=1)
 labels = ["G", "X", "Y", "Dx", "Dy", "B"]
 
-res = sixls_linear(0, 40, p, dt=0.1, phonons=True, t_mem=1.6, ae=3.0,
+res = sixls_linear(0, 40, p, dt=0.1, phonons=True, t_mem=3.2, ae=3.0,
                    temperature=4, threshold=8, temp_dir=tmp,
                    gamma_e=1 / 100, lindblad=True, bx=1.0, bz=0.0)
 occ = np.stack([np.real(res[i]) for i in range(1, 7)])
