@@ -94,6 +94,49 @@ def branch_outputs(U, E_half, rho_traj, t1_ks, S_branch, W_tau, W_zero,
 
 
 @hostsafe(static_argnames=("mto_before", "has_diss"))
+def _vmapped_runs_pt_core(stack, caps, g_of_s, U, E_half, rho0_vec, W,
+                          mto_sops, mto_ks_batch, gather_ks, mto_before=(),
+                          has_diss=True):
+    """Phonon twin of _vmapped_runs_core: every lane carries the PT bond
+    state A (chi, d^2) through the full chain, with its own MTO indices."""
+    d = U.shape[1]
+    d2 = d * d
+    n = U.shape[0]
+    chi = stack.shape[1]
+    n_mto = len(mto_before)
+
+    def one_run(mks, gks):
+        def apply_mtos(A, k, before_phase):
+            for i in range(n_mto):
+                if mto_before[i] == before_phase:
+                    A = jnp.where(k == mks[i], A @ mto_sops[i].T, A)
+            return A
+
+        def body(A, xs):
+            Uk, Qk, cap_k, k = xs
+            A = apply_mtos(A, k, True)
+            y = W @ (cap_k @ A)
+            A = apply_mtos(A, k, False)
+            if has_diss:
+                A = A @ E_half.T
+            Am = superop.vpu_sandwich(A.reshape(chi, d, d), Uk)
+            A = Am.reshape(chi, d2)
+            if has_diss:
+                A = A @ E_half.T
+            Qs = Qk[:, g_of_s, :]
+            return jnp.einsum('asb,as->bs', Qs, A), y
+
+        A0 = jnp.zeros((chi, d2), dtype=rho0_vec.dtype).at[0].set(rho0_vec)
+        ks = jnp.arange(n, dtype=jnp.int32)
+        A_f, ys = jax.lax.scan(body, A0, (U, stack, caps[:-1], ks))
+        A_f = apply_mtos(A_f, jnp.int32(n), True)
+        outputs = jnp.concatenate([ys, (W @ (caps[-1] @ A_f))[None]], axis=0)
+        return outputs[gks]
+
+    return jax.vmap(one_run)(mto_ks_batch, gather_ks)
+
+
+@hostsafe(static_argnames=("mto_before", "has_diss"))
 def _vmapped_runs_core(U, E_half, rho0_vec, W, mto_sops, mto_ks_batch,
                        gather_ks, mto_before=(), has_diss=True):
     d = U.shape[1]
@@ -156,9 +199,18 @@ def batched_mto_runs(task: Task, mtos, mto_times, gather_times, output_ops,
     out = []
     for lo in range(0, B, chunk):
         hi = min(B, lo + chunk)
-        out.append(np.asarray(_vmapped_runs_core(
-            task.U, task.E_half, task.rho0_vec, W, sops, mto_ks[lo:hi],
-            gather_ks[lo:hi], mto_before=before, has_diss=task.has_diss)))
+        if task.pt is not None:
+            pt = task.pt.prefix(task.U.shape[0] if hasattr(task.U, "shape")
+                                else len(task.t) - 1)
+            out.append(np.asarray(_vmapped_runs_pt_core(
+                pt.stack.astype(cdt), pt.caps.astype(cdt),
+                np.asarray(pt.g_of_s, dtype=np.int32), task.U, task.E_half,
+                task.rho0_vec, W, sops, mto_ks[lo:hi], gather_ks[lo:hi],
+                mto_before=before, has_diss=task.has_diss)))
+        else:
+            out.append(np.asarray(_vmapped_runs_core(
+                task.U, task.E_half, task.rho0_vec, W, sops, mto_ks[lo:hi],
+                gather_ks[lo:hi], mto_before=before, has_diss=task.has_diss)))
     return np.concatenate(out, axis=0)
 
 
@@ -194,6 +246,26 @@ def correlation_2d(task: Task, t_axis, branch_mtos, output_op, zero_op,
         raise ValueError(
             "Task grid too short: needs t_end >= max(t_axis) + tau_max "
             f"({task.t[-1]} < {np.max(np.asarray(t_axis)) + tau_max})")
+
+    if task.pt is not None:
+        # phonons: the branch cannot be windowed out of the PT chain (the
+        # environment is history-correlated), so every t1 is one full-chain
+        # lane with the insertions at t1 — the exact structure of the
+        # reference's ACE fan-out, vmapped.
+        B = len(t1_ks)
+        all_mtos = list(branch_mtos) + list(trunk_mtos)
+        times = np.empty((B, len(all_mtos)))
+        times[:, :len(branch_mtos)] = np.asarray(t_axis)[:, None]
+        for j, m in enumerate(trunk_mtos):
+            times[:, len(branch_mtos) + j] = m["time"]
+        gather = (np.asarray(t1_ks)[:, None] + np.arange(n_tau + 1)[None]) * dt \
+            + task.t[0]
+        outs = batched_mto_runs(task, all_mtos, times, gather,
+                                [zero_op, output_op])
+        G = np.empty((B, n_tau + 1), dtype=complex)
+        G[:, 0] = outs[:, 0, 0]      # zero_op at t1 (pre-insertion readout)
+        G[:, 1:] = outs[:, 1:, 1]    # output_op along tau
+        return np.asarray(t_axis), tau, G
 
     # trunk with fixed-time MTOs folded in
     if trunk_mtos:

@@ -57,3 +57,43 @@ def test_tl_three_op_dispatch_with_phonons(cache_dir):
         options=_options(cache_dir))
     expected = (1 - np.exp(-GAMMA * t))[:, None] * np.exp(-GAMMA * tau)[None, :]
     assert np.max(np.abs(np.real(G) - expected)) < 5e-3
+
+
+def test_direct_vs_tl_phonon_g2(cache_dir):
+    """The direct PT fan-out (every t1 a full-chain lane through the process
+    tensor) and the time-local-map method are INDEPENDENT algorithms; both
+    must reproduce the closed form G(t,tau) = rho_00(t) exp(-gamma tau)."""
+    from pyaceqd_tpu.correlations import three_op_two_time
+    t_axis = np.round(np.arange(0, 3.2 + 1e-9, 0.8), 6)
+    opts = _options(cache_dir)
+    t, tau, G_direct = three_op_two_time(
+        tls, t_axis, opA="|0><1|_2", opB="|1><1|_2", opC="|1><0|_2",
+        tau_max=3.0, dt=DT, options=opts)
+    t2, tau2, G_tl = tl_three_op_two_time_phonons(
+        tls, t_axis, t_mem=TMEM, opA="|0><1|_2", opB="|1><1|_2",
+        opC="|1><0|_2", tau_max=3.0, dt=DT,
+        rho0=np.array([[0, 0], [0, 1]], dtype=complex), options=opts)
+    expected = (1 - np.exp(-GAMMA * t))[:, None] * np.exp(-GAMMA * tau)[None, :]
+    assert np.max(np.abs(np.real(G_direct) - expected)) < 5e-3
+    assert np.max(np.abs(np.real(G_direct) - np.real(G_tl))) < 5e-3
+
+
+def test_direct_fanout_carries_phonon_dephasing(cache_dir):
+    """Coherence-sensitive gate: a Markovian fan-out would keep |G1(0, tau)|
+    constant (gamma = 0); the PT lanes must reproduce the exact IBM
+    decoherence envelope."""
+    from pyaceqd_tpu.correlations import two_op_two_time
+    from pyaceqd_tpu.engine import spectral
+    opts = {"gamma_e": 0.0, "lindblad": False, "phonons": True,
+            "t_mem": TMEM, "ae": 3.0, "temperature": 4, "threshold": 8,
+            "temp_dir": cache_dir,
+            "initial": "0.5*(|0><0|_2+|0><1|_2+|1><0|_2+|1><1|_2)"}
+    t, tau, G = two_op_two_time(
+        tls, np.array([0.0]), opA="|1><0|_2", opB="|0><1|_2", tau_max=3.0,
+        dt=DT, options=opts)
+    g = np.abs(G[0]) / np.abs(G[0, 0])
+    J = spectral.QDPhononJ(ae=3.0)
+    phi = np.abs(spectral.ibm_dephasing(J, tau, 4.0))
+    # must follow the IBM envelope, not stay at 1
+    assert phi[-1] < 0.9           # the envelope genuinely decays here
+    assert np.max(np.abs(g - phi)) < 2e-2
