@@ -18,8 +18,6 @@ device program: the B-axis is the vectorization axis that maps onto the
 VPU/MXU lanes, and — for sweeps — onto the device mesh.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

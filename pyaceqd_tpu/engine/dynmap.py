@@ -14,8 +14,6 @@ Binary-power skipping (twophoton_new.py:599-613, timebin_tl.f90:23-47) becomes
 an O(log n) squaring chain of d^2 x d^2 matmuls on the MXU.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

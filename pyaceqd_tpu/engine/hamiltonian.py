@@ -20,7 +20,7 @@ symmetric-Trotter stepping ACE advertises (``use_symmetric_Trotter true``,
 general_system.py:234).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np

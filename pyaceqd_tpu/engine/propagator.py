@@ -21,8 +21,6 @@ Step-k ordering matches ACE semantics (general_system.py:283-285):
   [apply MTOs with applyBefore] -> output at t_k -> [apply MTOs] -> propagate.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

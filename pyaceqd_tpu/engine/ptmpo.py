@@ -42,7 +42,6 @@ Design (TPU-first):
 
 import os
 from dataclasses import dataclass
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,6 @@ from dataclasses import dataclass
 from typing import Any, Optional
 
 import numpy as np
-import jax.numpy as jnp
 
 from pyaceqd_tpu import config, constants
 from pyaceqd_tpu.engine import hamiltonian as ham

@@ -6,7 +6,6 @@ couplings, exciton-number-weighted phonon coupling, plus cavity / extended
 18-level / sensor variants.
 """
 
-import numpy as np
 
 from pyaceqd_tpu import constants
 from pyaceqd_tpu.engine.simulate import simulate

@@ -5,7 +5,6 @@ bright/dark excitons split by d0/d1/d2, Bx couples bright-dark via electron/
 hole g-factors, Bz couples bright-bright and dark-dark with complex (i-)terms.
 """
 
-import numpy as np
 
 from pyaceqd_tpu import constants
 from pyaceqd_tpu.engine.simulate import simulate

@@ -7,7 +7,6 @@ convention is preserved: every correlation/timebin/application layer takes one
 of these functions as its ``system`` argument.
 """
 
-import numpy as np
 
 from pyaceqd_tpu import constants
 from pyaceqd_tpu.engine.simulate import simulate

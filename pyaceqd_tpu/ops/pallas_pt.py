@@ -24,8 +24,6 @@ scratch, prefetch-clamped block streams) for when a genuinely large-d2 or
 large-chi workload shows up; NOT wired into the production sweep path.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -8,8 +8,6 @@ per-branch step unitaries come from one batched eigh, and the branch axis
 vmaps across VPU lanes on a chip and shards across the mesh over ICI.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,6 @@ from typing import Optional
 
 import numpy as np
 
-from pyaceqd_tpu import constants
 
 
 # ---------------------------------------------------------------------------
