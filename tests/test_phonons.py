@@ -114,3 +114,50 @@ def test_phonon_dynmap(cache_dir):
     for i in range(dm.shape[0]):
         occ.append((dm[i] @ rho0)[3].real)
     assert np.allclose(occ, res[2].real, atol=1e-7)
+
+
+def test_rebalance_invariance_and_f32_safety():
+    """rebalance() must leave observables exactly invariant while making an
+    exponentially-scaled PT float32-castable (old caches stored caps growing
+    ~3x/step, overflowing complex64 over long horizons)."""
+    import numpy as np
+    from pyaceqd_tpu.engine import ptmpo
+
+    rng = np.random.default_rng(7)
+    n, chi, G, d = 40, 6, 4, 2
+    d2 = d * d
+    # scale so the diagonal-slice products DECAY backward: the anchored
+    # caps then grow exponentially toward m = n, like the real caches did
+    stack = (rng.normal(size=(n, chi, G, chi))
+             + 1j * rng.normal(size=(n, chi, G, chi))) / (3 * np.sqrt(chi))
+    # force exponential cap growth like the unbalanced caches had
+    g_diag = 0
+    caps = np.zeros((n + 1, chi), dtype=complex)
+    caps[n, 0] = 1.0
+    for m in range(n - 1, -1, -1):
+        caps[m] = stack[m][:, g_diag, :] @ caps[m + 1]
+    caps = caps / caps[0][0]
+    pt = ptmpo.ProcessTensor(stack=stack, caps=caps,
+                             g_of_s=np.arange(d2) % G,
+                             counter_term=np.zeros((d, d)), chi=chi, n_mem=8)
+    assert np.abs(pt.caps).max() > 1e6  # genuinely unbalanced input
+
+    new = ptmpo.rebalance(pt)
+    assert np.abs(new.caps).max() < 1e3
+    assert np.abs(new.stack).max() < 1e6
+    # observable invariance: propagate both in f64
+    U = np.broadcast_to(np.eye(d), (n, d, d)).astype(complex)
+    rho0 = np.zeros(d2, dtype=complex)
+    rho0[0] = 1.0
+    W = np.eye(d2, dtype=complex)[:2]
+    outs = []
+    for p in (pt, new):
+        ys, _ = ptmpo.propagate_pt(p, U, None, rho0, W,
+                                   np.zeros((0, d2, d2)), np.zeros(0, np.int32))
+        outs.append(np.asarray(ys))
+    scale = np.max(np.abs(outs[0]))
+    assert np.max(np.abs(outs[0] - outs[1])) / scale < 1e-10
+    # re-balancing again must also leave observables invariant
+    ys2, _ = ptmpo.propagate_pt(ptmpo.rebalance(new), U, None, rho0, W,
+                                np.zeros((0, d2, d2)), np.zeros(0, np.int32))
+    assert np.max(np.abs(np.asarray(ys2) - outs[1])) / scale < 1e-10
