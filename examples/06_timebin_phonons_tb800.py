@@ -1,0 +1,56 @@
+"""Flagship reference-scale workload (SURVEY config 4 at full scale): time-bin
+two-photon density matrix WITH phonons at tb = 800 ps — the reference's
+default protocol scale (twophoton_new.py:100-181, defaults tb=800), which is
+only feasible with the stationary PT (use_Gaussian_infinite equivalent,
+engine/ptinf.py): a finite-horizon PT for 2.1*tb/dt = 16,800 steps would need
+days of build time and ~10 GB of storage; the stationary PT builds in O(t_mem)
+once and is cached.
+
+The protocol: two-photon-resonant pulses in the early and late bins drive the
+4-level dark model; the EE diagonal and the EE-LL coherence of the two-photon
+time-bin density matrix give the concurrence.  Every matrix element is a
+batched fan-out of full-chain PT lanes over the (t1, t2) grid — the exact
+structure of the reference's ACE fan-out (workers=N), vmapped on one chip.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from pyaceqd_tpu.models.dark_model import darkmodel
+from pyaceqd_tpu.pulses import Pulse
+from pyaceqd_tpu.timebin import TwoPhotonTimebinNew
+
+tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+os.makedirs(tmp, exist_ok=True)
+
+TB = 800.0      # reference default time-bin length [ps]
+DT = 0.2
+T_MEM = 20.48   # darkmodel fixed memory (reference dark_model.py:29)
+GAMMA = 1 / 100
+
+p1 = Pulse(tau=3.0, e_start=-2, e0=2 * np.pi, t0=12, polar_x=0)
+p2 = Pulse(tau=3.0, e_start=-2, e0=2 * np.pi, t0=12 + TB, polar_x=0)
+
+opts = {"verbose": True, "delta_xd": 4, "delta_b": 4, "gamma_e": GAMMA,
+        "gamma_b": GAMMA, "lindblad": True, "phonons": True, "ae": 3.0,
+        "temperature": 4.0, "use_infinite": True,
+        "threshold": 8, "temp_dir": tmp}
+
+t0 = time.time()
+tpb = TwoPhotonTimebinNew(darkmodel, "|0><1|_4", "|1><0|_4", "|1><3|_4",
+                          "|3><1|_4", p1, p2, dt=DT, dim=4, tb=TB,
+                          gaussian_t=24, options=opts)
+conc, dm = tpb.calc_densitymatrix(reduced=True, use_second_zero=True)
+elapsed = time.time() - t0
+norm = np.trace(dm).real
+print("tb = %g ps, dt = %g, t_mem = %g (stationary PT), phonons at 4 K"
+      % (TB, DT, T_MEM))
+print("two-photon time-bin density matrix (normalized):")
+print(np.array2string(dm / norm, precision=4, suppress_small=True))
+print("concurrence = %.4f   (wall clock %.1f s)" % (conc, elapsed))
+# Measured on v5e (2026-08): see header note updated after the on-chip run.

@@ -88,35 +88,39 @@ def three_op_one_time(system, *pulses, opA="|1><0|_2", opB="|1><1|_2",
 def two_op_two_time(system, t_axis, *pulses, opA="|1><0|_2", opB="|0><1|_2",
                     tau_max=500, dt=0.1, t_start=0,
                     options={"lindblad": True, "phonons": False}, debug=False,
-                    workers=15):
+                    workers=15, mesh=None):
     """G(t1, tau) = <A(t1+tau) B(t1)> over all t1 in t_axis at once
     (reference correlations.py:186-225; `workers` kept for signature parity —
-    parallelism is the vmapped branch axis, not threads)."""
+    parallelism is the vmapped branch axis, sharded over `mesh` when given)."""
     task = _get_task(system, t_start, float(np.max(t_axis)) + tau_max, pulses, dt, options)
     mto = {"operator": opB, "applyFrom": "_left", "applyBefore": "false"}
     return branched.correlation_2d(task, t_axis, [mto], opA,
-                                   _product_str(opA, opB), tau_max)
+                                   _product_str(opA, opB), tau_max, mesh=mesh)
 
 
 def three_op_two_time(system, t_axis, *pulses, opA="|1><0|_2", opB="|1><1|_2",
                       opC="|0><1|_2", tau_max=500, dt=0.1, t_start=0,
                       options={"lindblad": True, "phonons": False}, debug=False,
-                      workers=15):
-    """G2(t1, tau) = <A(t1) B(t1+tau) C(t1)> (reference correlations.py:227-270)."""
-    if t_start > 0:
-        raise ValueError("t_start > 0 is not supported; use t_start<=0 to reach a stationary state first.")
+                      workers=15, mesh=None):
+    """G2(t1, tau) = <A(t1) B(t1+tau) C(t1)> (reference correlations.py:227-270).
+
+    t_start > 0 is accepted (reference parity): the grid simply starts there
+    and t_axis entries must lie within [t_start, t_end]."""
+    if np.min(np.asarray(t_axis)) < t_start:
+        raise ValueError("t_axis must lie within [t_start, t_end]")
     task = _get_task(system, t_start, float(np.max(t_axis)) + tau_max, pulses, dt, options)
     mtos = [{"operator": opA, "applyFrom": "_right", "applyBefore": "false"},
             {"operator": opC, "applyFrom": "_left", "applyBefore": "false"}]
     return branched.correlation_2d(task, t_axis, mtos, opB,
-                                   _product_str(opA, opB, opC), tau_max)
+                                   _product_str(opA, opB, opC), tau_max,
+                                   mesh=mesh)
 
 
 def five_op_two_time(system, t_axis, *pulses, opA="|1><0|_2", opB="|1><0|_2",
                      opC="|1><1|_2", opD="|0><1|_2", opE="|0><1|_2", tau_max=500,
                      dt=0.1, t_start=-500,
                      options={"lindblad": True, "phonons": False}, debug=False,
-                     workers=15):
+                     workers=15, mesh=None):
     """<A(0) B(t) C(t+tau) D(t) E(0)> with t_start<=0 settling time
     (reference correlations.py:272-320; same caveat: the t=0, tau=0 value uses
     <B C D> only)."""
@@ -127,7 +131,7 @@ def five_op_two_time(system, t_axis, *pulses, opA="|1><0|_2", opB="|1><0|_2",
             {"operator": opD, "applyFrom": "_left", "applyBefore": "false"}]
     return branched.correlation_2d(task, t_axis, mtos, opC,
                                    _product_str(opA, opB, opC, opD, opE), tau_max,
-                                   trunk_mtos=trunk)
+                                   trunk_mtos=trunk, mesh=mesh)
 
 
 def get_spectrum(g1, tau, dir="", plot=False):

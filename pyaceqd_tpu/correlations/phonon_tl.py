@@ -80,18 +80,25 @@ def tl_three_op_two_time_phonons(system, t_axis, *pulses, t_mem=10,
         system, pulses, t_mem, dt, rho0, opts, opA, opC)
     n_tauc = len(trans0)
 
-    # per-t post-insertion blocks for insertions inside the initial transient
+    # per-t post-insertion blocks for insertions inside the initial
+    # transient: ONE batched dynamical-map program over all insertion times
+    # (the reference dispatches one ACE run per t here; a per-t
+    # calc_dynmap loop costs one compile+dispatch each — NOTES_round1 §5)
+    from pyaceqd_tpu.engine import branched
     t_mem_indices = np.where(t_axis < t_mem)[0]
     blocks_tauc = {}
-    for i in t_mem_indices:
-        t = t_axis[i]
-        result, dm = system(0, t + t_mem + 10 * dt, *pulses, dt=dt, rho0=rho0,
-                            multitime_op=_sandwich_mtos(opA, opC, t),
-                            calc_dynmap=True, **opts)
-        _t = np.round(np.asarray(result[0]).real, 6)
-        dm_tl = calc_tl_dynmap_pseudo(dm, _t)
-        _, _dms = extract_dms(dm_tl, _t, t_mem, [t])
-        blocks_tauc[i] = _pad_block(_dms[1], tl_map2, n_tauc)
+    if len(t_mem_indices):
+        t_end_common = float(t_axis[t_mem_indices[-1]] + t_mem + 10 * dt)
+        task = system(0, t_end_common, *pulses, dt=dt, rho0=rho0,
+                      return_task=True, output_ops=[], **opts)
+        times = np.stack([t_axis[t_mem_indices]] * 2, axis=1)
+        dms = branched.batched_dynmap_runs(
+            task, _sandwich_mtos(opA, opC, 0.0), times)
+        _t = np.round(np.asarray(task.t).real, 6)
+        for row, i in enumerate(t_mem_indices):
+            dm_tl = calc_tl_dynmap_pseudo(dms[row], _t)
+            _, _dms = extract_dms(dm_tl, _t, t_mem, [t_axis[i]])
+            blocks_tauc[i] = _pad_block(_dms[1], tl_map2, n_tauc)
 
     # trunk: rho(t) for every t on t_axis via one map chain
     k1s = np.round(t_axis / dt).astype(np.int32)
@@ -145,25 +152,26 @@ def tl_threeoptwotime_phonons_dm(system, t_axis, *pulses, t_mem=10,
     w_b = trace_vector(opB_mat)
     rho0_vec = np.asarray(rho0).reshape(-1)
 
+    from pyaceqd_tpu.engine import branched
     t_mem_indices = np.where(t_axis <= t_mem)[0]
     rho_t1s, blocks = [], []
-    n_map_max = 0
-    raw = []
-    for i in t_mem_indices:
-        t = t_axis[i]
-        result, dm = system(0, t + t_mem, *pulses, dt=dt, rho0=rho0,
-                            multitime_op=_sandwich_mtos(opA, opC, t),
-                            calc_dynmap=True, **opts)
-        dm = np.asarray(dm)
-        n_steps = int(np.round(t / dt, 6))
-        rho_t1s.append(dm[n_steps - 1] @ rho0_vec if n_steps > 0 else rho0_vec)
-        raw.append(dm[n_steps:])
-        n_map_max = max(n_map_max, dm.shape[0] - n_steps)
-    for dm_tail in raw:
-        # raw maps act on rho0, so convert to incremental maps via pinv chain
-        # is unnecessary: emulate the reference exactly by reading
-        # tr(B . dm[j] rho0) directly
-        blocks.append(dm_tail)
+    n_tail = int(np.round(t_mem / dt))
+    if len(t_mem_indices):
+        # one batched dynamical-map program over all insertion times (was a
+        # per-t calc_dynmap dispatch loop — NOTES_round1 §5); raw maps act
+        # on rho0, so tr(B . dm[j] rho0) is read directly per lane
+        t_end_common = float(t_axis[t_mem_indices[-1]] + t_mem)
+        task = system(0, t_end_common, *pulses, dt=dt, rho0=rho0,
+                      return_task=True, output_ops=[], **opts)
+        times = np.stack([t_axis[t_mem_indices]] * 2, axis=1)
+        dms = branched.batched_dynmap_runs(
+            task, _sandwich_mtos(opA, opC, 0.0), times)
+        for row, i in enumerate(t_mem_indices):
+            dm = np.asarray(dms[row])
+            n_steps = int(np.round(t_axis[i] / dt, 6))
+            rho_t1s.append(dm[n_steps - 1] @ rho0_vec if n_steps > 0
+                           else rho0_vec)
+            blocks.append(dm[n_steps:n_steps + n_tail])
 
     for row, i in enumerate(t_mem_indices):
         rho_t = rho_t1s[row]

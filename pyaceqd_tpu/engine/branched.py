@@ -91,23 +91,26 @@ def branch_outputs(U, E_half, rho_traj, t1_ks, S_branch, W_tau, W_zero,
     return G0, Gtau
 
 
-@hostsafe(static_argnames=("mto_before", "has_diss"))
+@hostsafe(static_argnames=("mto_before", "has_diss", "per_lane_sops"))
 def _vmapped_runs_pt_core(stack, caps, g_of_s, U, E_half, rho0_vec, W,
                           mto_sops, mto_ks_batch, gather_ks, mto_before=(),
-                          has_diss=True):
+                          has_diss=True, per_lane_sops=False):
     """Phonon twin of _vmapped_runs_core: every lane carries the PT bond
-    state A (chi, d^2) through the full chain, with its own MTO indices."""
+    state A (chi, d^2) through the full chain, with its own MTO indices.
+    With per_lane_sops, mto_sops is (B, n_mto, d2, d2) and each lane applies
+    its own operator set (one program serves runs with different operators —
+    the reference re-runs ACE per operator set, pol_entanglement/G2.py:439)."""
     d = U.shape[1]
     d2 = d * d
     n = U.shape[0]
     chi = stack.shape[1]
     n_mto = len(mto_before)
 
-    def one_run(mks, gks):
+    def one_run(mks, gks, sops):
         def apply_mtos(A, k, before_phase):
             for i in range(n_mto):
                 if mto_before[i] == before_phase:
-                    A = jnp.where(k == mks[i], A @ mto_sops[i].T, A)
+                    A = jnp.where(k == mks[i], A @ sops[i].T, A)
             return A
 
         def body(A, xs):
@@ -131,22 +134,24 @@ def _vmapped_runs_pt_core(stack, caps, g_of_s, U, E_half, rho0_vec, W,
         outputs = jnp.concatenate([ys, (W @ (caps[-1] @ A_f))[None]], axis=0)
         return outputs[gks]
 
-    return jax.vmap(one_run)(mto_ks_batch, gather_ks)
+    return jax.vmap(one_run, in_axes=(0, 0, 0 if per_lane_sops else None))(
+        mto_ks_batch, gather_ks, mto_sops)
 
 
-@hostsafe(static_argnames=("mto_before", "has_diss"))
+@hostsafe(static_argnames=("mto_before", "has_diss", "per_lane_sops"))
 def _vmapped_runs_core(U, E_half, rho0_vec, W, mto_sops, mto_ks_batch,
-                       gather_ks, mto_before=(), has_diss=True):
+                       gather_ks, mto_before=(), has_diss=True,
+                       per_lane_sops=False):
     d = U.shape[1]
     d2 = d * d
     n = U.shape[0]
     n_mto = len(mto_before)
 
-    def one_run(mks, gks):
+    def one_run(mks, gks, sops):
         def apply_mtos(rho, k, before_phase):
             for i in range(n_mto):
                 if mto_before[i] == before_phase:
-                    rho = jnp.where(k == mks[i], mto_sops[i] @ rho, rho)
+                    rho = jnp.where(k == mks[i], sops[i] @ rho, rho)
             return rho
 
         def body(rho, xs):
@@ -163,11 +168,12 @@ def _vmapped_runs_core(U, E_half, rho0_vec, W, mto_sops, mto_ks_batch,
         outputs = jnp.concatenate([ys, (W @ rho_f)[None]], axis=0)
         return outputs[gks]
 
-    return jax.vmap(one_run)(mto_ks_batch, gather_ks)
+    return jax.vmap(one_run, in_axes=(0, 0, 0 if per_lane_sops else None))(
+        mto_ks_batch, gather_ks, mto_sops)
 
 
 def batched_mto_runs(task: Task, mtos, mto_times, gather_times, output_ops,
-                     chunk=512):
+                     chunk=512, mesh=None, mto_sops_batch=None):
     """Fully general multi-time-operator fan-out: B independent runs that
     share the trunk setup but differ in their MTO insertion times, vmapped.
 
@@ -182,34 +188,72 @@ def batched_mto_runs(task: Task, mtos, mto_times, gather_times, output_ops,
       mto_times: (B, n_mto) absolute times per run.
       gather_times: (B, m) absolute times at which outputs are collected.
       output_ops: operator strings/matrices for the output rows.
+      mesh: optional jax.sharding.Mesh — lanes are sharded over its 'batch'
+        axis (the multi-chip twin of the reference's ``workers=N`` ThreadPool
+        at two_time/correlations.py:152-170); results are identical to the
+        single-device path.
+      mto_sops_batch: optional (B, n_mto, d2, d2) per-lane event
+        superoperators overriding the shared ones parsed from ``mtos``
+        (one program serves runs with different operator sets).
     Returns (B, m, n_out) complex.
     """
     from pyaceqd_tpu.ops.dsl import parse_operator
     cdt = config.cdtype()
     d = task.dim
-    sops = np.stack([mto_superop(m) for m in mtos]).astype(cdt)
+    per_lane = mto_sops_batch is not None
+    if per_lane:
+        sops_all = np.asarray(mto_sops_batch).astype(cdt)
+    else:
+        sops_all = np.stack([mto_superop(m) for m in mtos]).astype(cdt)
     before = tuple(str(m.get("applyBefore", "false")).lower() == "true" for m in mtos)
     W = np.stack([superop.trace_vector(parse_operator(o) if isinstance(o, str) else o)
                   for o in output_ops]).astype(cdt)
     mto_ks = np.asarray(task.k_of(mto_times), dtype=np.int32).reshape(len(mto_times), len(mtos))
     gather_ks = np.asarray(task.k_of(gather_times), dtype=np.int32)
     B = mto_ks.shape[0]
+    n_valid_total = B
+    if mesh is not None:
+        from pyaceqd_tpu.parallel import mesh as mesh_util
+        M = int(mesh.devices.size)
+        chunk = max(M, (chunk // M) * M)
+        mto_ks, _ = mesh_util.pad_to_multiple(mto_ks, chunk)
+        gather_ks, _ = mesh_util.pad_to_multiple(gather_ks, chunk)
+        if per_lane:
+            sops_all, _ = mesh_util.pad_to_multiple(sops_all, chunk)
+        B = mto_ks.shape[0]
+
+        def _place(x):
+            return mesh_util.shard_batch(x, mesh)
+    else:
+        def _place(x):
+            return x
     out = []
     for lo in range(0, B, chunk):
         hi = min(B, lo + chunk)
+        mk_c, gk_c = _place(mto_ks[lo:hi]), _place(gather_ks[lo:hi])
+        sops = _place(sops_all[lo:hi]) if per_lane else sops_all
         if task.pt is not None:
             pt = task.pt.prefix(task.U.shape[0] if hasattr(task.U, "shape")
                                 else len(task.t) - 1)
+            if hasattr(pt, "bulk"):   # StationaryPT lanes
+                from pyaceqd_tpu.engine import ptinf
+                out.append(np.asarray(ptinf.vmapped_runs(
+                    pt, task.U, task.E_half, task.rho0_vec, W, sops,
+                    mk_c, gk_c, mto_before=before,
+                    has_diss=task.has_diss, per_lane_sops=per_lane)))
+                continue
             out.append(np.asarray(_vmapped_runs_pt_core(
                 pt.stack.astype(cdt), pt.caps.astype(cdt),
                 np.asarray(pt.g_of_s, dtype=np.int32), task.U, task.E_half,
-                task.rho0_vec, W, sops, mto_ks[lo:hi], gather_ks[lo:hi],
-                mto_before=before, has_diss=task.has_diss)))
+                task.rho0_vec, W, sops, mk_c, gk_c,
+                mto_before=before, has_diss=task.has_diss,
+                per_lane_sops=per_lane)))
         else:
             out.append(np.asarray(_vmapped_runs_core(
-                task.U, task.E_half, task.rho0_vec, W, sops, mto_ks[lo:hi],
-                gather_ks[lo:hi], mto_before=before, has_diss=task.has_diss)))
-    return np.concatenate(out, axis=0)
+                task.U, task.E_half, task.rho0_vec, W, sops, mk_c,
+                gk_c, mto_before=before, has_diss=task.has_diss,
+                per_lane_sops=per_lane)))
+    return np.concatenate(out, axis=0)[:n_valid_total]
 
 
 def compose_branch_superop(mtos, dim):
@@ -223,7 +267,7 @@ def compose_branch_superop(mtos, dim):
 
 
 def correlation_2d(task: Task, t_axis, branch_mtos, output_op, zero_op,
-                   tau_max, trunk_mtos=()):
+                   tau_max, trunk_mtos=(), mesh=None):
     """G(t1, tau) for generic operator insertions at t1 (QRT fan-out).
 
     Drop-in engine for the reference's _ops_two_time
@@ -259,7 +303,7 @@ def correlation_2d(task: Task, t_axis, branch_mtos, output_op, zero_op,
         gather = (np.asarray(t1_ks)[:, None] + np.arange(n_tau + 1)[None]) * dt \
             + task.t[0]
         outs = batched_mto_runs(task, all_mtos, times, gather,
-                                [zero_op, output_op])
+                                [zero_op, output_op], mesh=mesh)
         G = np.empty((B, n_tau + 1), dtype=complex)
         G[:, 0] = outs[:, 0, 0]      # zero_op at t1 (pre-insertion readout)
         G[:, 1:] = outs[:, 1:, 1]    # output_op along tau
@@ -306,3 +350,124 @@ def correlation_2d(task: Task, t_axis, branch_mtos, output_op, zero_op,
     G[:, 0] = np.asarray(G0)[:, 0]
     G[:, 1:] = np.asarray(Gtau)[:, :, 0]
     return np.asarray(t_axis), tau, G
+
+
+# ---------------------------------------------------------------------------
+# batched dynamical-map collection (kills the per-t calc_dynmap dispatch loop
+# of the reference's phonon tl paths, two_time/correlations.py:1013-1190)
+# ---------------------------------------------------------------------------
+
+@hostsafe(static_argnames=("mto_before", "has_diss"))
+def _vmapped_dynmaps_core(U, E_half, W_eye, mto_sops, mto_ks_batch,
+                          mto_before=(), has_diss=True):
+    # plain (no-phonon) path: accumulate the map directly per lane, matching
+    # propagator.propagate's collect_E semantics (both event phases fire)
+    n = U.shape[0]
+    d = U.shape[1]
+    d2 = d * d
+    n_mto = len(mto_before)
+
+    def one_lane(mks):
+        def apply_mtos_E(E, k, before_phase):
+            for i in range(n_mto):
+                if mto_before[i] == before_phase:
+                    E = jnp.where(k == mks[i], mto_sops[i] @ E, E)
+            return E
+
+        def sys_step_E(E, Uk):  # noqa: E306
+            if has_diss:
+                E = E_half @ E
+            E3 = E.reshape(d, d, d2)
+            E3 = jnp.einsum('ik,jl,klm->ijm', Uk, jnp.conj(Uk), E3)
+            E = E3.reshape(d2, d2)
+            if has_diss:
+                E = E_half @ E
+            return E
+
+        def body(E, xs):
+            Uk, k = xs
+            E = apply_mtos_E(E, k, True)
+            E = apply_mtos_E(E, k, False)
+            E = sys_step_E(E, Uk)
+            return E, E
+
+        ks = jnp.arange(n, dtype=jnp.int32)
+        E0 = jnp.eye(d2, dtype=U.dtype)
+        _, Es = jax.lax.scan(body, E0, (U, ks))
+        return Es
+
+    return jax.vmap(one_lane)(mto_ks_batch)
+
+
+@hostsafe(static_argnames=("mto_before", "has_diss"))
+def _vmapped_dynmaps_pt_core(stack, caps, g_of_s, U, E_half, W_eye, mto_sops,
+                             mto_ks_batch, mto_before=(), has_diss=True):
+    from pyaceqd_tpu.engine.ptmpo import _pt_dynmaps_core
+
+    def one(mks):
+        maps = _pt_dynmaps_core.__wrapped__(
+            stack, caps, g_of_s, U, E_half, W_eye, mto_sops, mks,
+            mto_before=mto_before, mto_mode=(), has_diss=has_diss)
+        return maps[1:]
+
+    return jax.vmap(one)(mto_ks_batch)
+
+
+@hostsafe(static_argnames=("mto_before", "has_diss"))
+def _vmapped_dynmaps_ptinf_core(init_stack, init_caps, bulk, cap_bulk,
+                                g_of_s, U, E_half, W_eye, mto_sops,
+                                mto_ks_batch, mto_before=(), has_diss=True):
+    from pyaceqd_tpu.engine.ptinf import _ptinf_dynmaps_core
+
+    def one(mks):
+        maps = _ptinf_dynmaps_core.__wrapped__(
+            init_stack, init_caps, bulk, cap_bulk, g_of_s, U, E_half, W_eye,
+            mto_sops, mks, mto_before=mto_before, mto_mode=(),
+            has_diss=has_diss)
+        return maps[1:]
+
+    return jax.vmap(one)(mto_ks_batch)
+
+
+def batched_dynmap_runs(task: Task, mtos, mto_times, chunk=32):
+    """Accumulated dynamical maps E(t_m, t_0), m=1..n, for B lanes that
+    differ only in their MTO insertion times — ONE compiled program instead
+    of B sequential simulate(calc_dynmap=True) dispatches (the reference
+    fans these out as ACE subprocesses, two_time/purity.py:475-511).
+
+    Returns (B, n, d^2, d^2), each row matching what
+    simulate(..., calc_dynmap=True) returns as its dm."""
+    cdt = config.cdtype()
+    sops = np.stack([mto_superop(m) for m in mtos]).astype(cdt)
+    before = tuple(str(m.get("applyBefore", "false")).lower() == "true"
+                   for m in mtos)
+    mto_ks = np.asarray(task.k_of(mto_times), dtype=np.int32).reshape(
+        len(mto_times), len(mtos))
+    d2 = task.dim * task.dim
+    W_eye = np.eye(d2, dtype=cdt)
+    B = mto_ks.shape[0]
+    out = []
+    for lo in range(0, B, chunk):
+        hi = min(B, lo + chunk)
+        mk = mto_ks[lo:hi]
+        if task.pt is not None:
+            pt = task.pt.prefix(task.U.shape[0] if hasattr(task.U, "shape")
+                                else len(task.t) - 1)
+            if hasattr(pt, "bulk"):
+                out.append(np.asarray(_vmapped_dynmaps_ptinf_core(
+                    pt.init_stack.astype(cdt), pt.init_caps.astype(cdt),
+                    pt.bulk.astype(cdt), pt.cap_bulk.astype(cdt),
+                    np.asarray(pt.g_of_s, dtype=np.int32), task.U,
+                    task.E_half, W_eye, sops, mk, mto_before=before,
+                    has_diss=task.has_diss)))
+            else:
+                out.append(np.asarray(_vmapped_dynmaps_pt_core(
+                    pt.stack.astype(cdt), pt.caps.astype(cdt),
+                    np.asarray(pt.g_of_s, dtype=np.int32), task.U,
+                    task.E_half, W_eye, sops, mk, mto_before=before,
+                    has_diss=task.has_diss)))
+        else:
+            out.append(np.asarray(_vmapped_dynmaps_core(
+                task.U, task.E_half, W_eye, sops, mk, mto_before=before,
+                has_diss=task.has_diss)))
+    return np.concatenate(out, axis=0)

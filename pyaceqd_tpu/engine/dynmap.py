@@ -136,12 +136,16 @@ def block_branches(block_maps, tl_map2, rho_t1s, n_tau, n_mem):
         def body_block(r, M):
             r = M @ r
             return r, r
-        r_mem, traj_mem = jax.lax.scan(body_block, rho, blocks)
+        # short-tau request (tau_max < t_mem): only the first n_tau block
+        # maps are needed and the stationary tail is empty
+        r_mem, traj_mem = jax.lax.scan(body_block, rho,
+                                       blocks[:min(n_mem, n_tau)])
 
         def body_tl(r, _):
             r = tl_map2 @ r
             return r, r
-        _, traj_tl = jax.lax.scan(body_tl, r_mem, None, length=n_tau - n_mem)
+        _, traj_tl = jax.lax.scan(body_tl, r_mem, None,
+                                  length=max(0, n_tau - n_mem))
         return jnp.concatenate([traj_mem, traj_tl], axis=0)
 
     return jax.vmap(one_branch)(block_maps, rho_t1s)
@@ -222,7 +226,7 @@ def _map_runs_core(maps, rho0_vec, W, mto_sops, mto_ks_batch, gather_ks,
 
 
 def batched_mto_map_runs(maps, rho0_vec, sops, before, mto_ks, gather_ks, W,
-                         chunk=1024):
+                         chunk=1024, mesh=None):
     """Fully general multi-insertion fan-out over a chain of per-step
     dynamical maps: the map-world twin of branched.batched_mto_runs, and the
     batched replacement for timebin_tl.f90::four_time_8op (OpenMP over t1
@@ -236,17 +240,32 @@ def batched_mto_map_runs(maps, rho0_vec, sops, before, mto_ks, gather_ks, W,
     from pyaceqd_tpu import config
     cdt = config.cdtype()
     maps = np.asarray(maps, dtype=cdt)
+    mto_ks = np.asarray(mto_ks, dtype=np.int32)
+    gather_ks = np.asarray(gather_ks, dtype=np.int32)
     B = mto_ks.shape[0]
+    n_valid = B
+    if mesh is not None:
+        # lanes sharded over the mesh 'batch' axis (multi-chip twin of the
+        # reference's OpenMP-over-t1 in timebin_tl.f90::four_time_8op)
+        from pyaceqd_tpu.parallel import mesh as mesh_util
+        M = int(mesh.devices.size)
+        chunk = max(M, (chunk // M) * M)
+        mto_ks, _ = mesh_util.pad_to_multiple(mto_ks, chunk)
+        gather_ks, _ = mesh_util.pad_to_multiple(gather_ks, chunk)
+        B = mto_ks.shape[0]
     out = []
     for lo in range(0, B, chunk):
         hi = min(B, lo + chunk)
+        mk, gk = mto_ks[lo:hi], gather_ks[lo:hi]
+        if mesh is not None:
+            from pyaceqd_tpu.parallel import mesh as mesh_util
+            mk = mesh_util.shard_batch(mk, mesh)
+            gk = mesh_util.shard_batch(gk, mesh)
         out.append(np.asarray(_map_runs_core(
             maps, np.asarray(rho0_vec, dtype=cdt), np.asarray(W, dtype=cdt),
-            np.asarray(sops, dtype=cdt),
-            np.asarray(mto_ks[lo:hi], dtype=np.int32),
-            np.asarray(gather_ks[lo:hi], dtype=np.int32),
+            np.asarray(sops, dtype=cdt), mk, gk,
             mto_before=tuple(before))))
-    return np.concatenate(out, axis=0)
+    return np.concatenate(out, axis=0)[:n_valid]
 
 
 def extract_dms_device(dm_tl, times, tau_c, t_MTOs):

@@ -369,9 +369,37 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
     path = _cache_path(system_prefix, ae, temperature, threshold, t_mem, dt,
                        J_file, temp_dir, pt_file)
     g_of_s, nu, mu = liouville_groups(boson_op)
+    n_mem = max(2, int(round(t_mem / dt)))
+    eta = spectral.eta_coefficients(J, dt, n_mem, temperature,
+                                    e_max_mev=boson_e_max)
+    # bath fingerprint: the filename-style key omits factor_ah / boson_e_max /
+    # chi_max / subtract_polaron_shift (the reference's PT filenames have the
+    # same gap); validate them on load so a changed bath never silently
+    # reuses a stale cache
+    import hashlib
+    fp = hashlib.sha256(
+        np.ascontiguousarray(eta).tobytes()
+        + repr((int(chi_max), bool(subtract_polaron_shift))).encode()
+    ).hexdigest()
+    Bdiag = np.real(np.diag(np.asarray(boson_op)))
+    delta_p = J.polaron_shift()
+    counter = (hbar * delta_p * np.diag(Bdiag**2) if subtract_polaron_shift
+               else np.zeros((len(Bdiag), len(Bdiag))))
+    if use_infinite:
+        # stationary (repeated/infinite) PT: O(n_mem) build, O(1) storage,
+        # unbounded horizon — ACE's use_Gaussian_infinite
+        # (general_system.py:165-174).  Own cache file, keyed like the finite
+        # one plus the fingerprint.
+        from pyaceqd_tpu.engine import ptinf
+        inf_path = path.replace("_ptmpo_v2.npz", "_ptinf_v1.npz")
+        return ptinf.load_or_build(inf_path, eta, g_of_s, nu, mu, counter,
+                                   thr, chi_max, fp, verbose=verbose)
+
     if os.path.exists(path):
-        z = np.load(path)
-        if (z["g_of_s"].shape == g_of_s.shape and np.all(z["g_of_s"] == g_of_s)
+        z = np.load(path, allow_pickle=False)
+        fp_ok = "fingerprint" not in z.files or str(z["fingerprint"]) == fp
+        if (fp_ok and z["g_of_s"].shape == g_of_s.shape
+                and np.all(z["g_of_s"] == g_of_s)
                 and z["stack"].shape[0] >= n_steps):
             if verbose:
                 print("using pt cache " + path)
@@ -382,18 +410,12 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
 
     if verbose:
         print("{} not found (or too short). Calculating...".format(path))
-    n_mem = max(2, int(round(t_mem / dt)))
-    eta = spectral.eta_coefficients(J, dt, n_mem, temperature,
-                                    e_max_mev=boson_e_max)
-    Bdiag = np.real(np.diag(np.asarray(boson_op)))
-    delta_p = J.polaron_shift()
-    counter = (hbar * delta_p * np.diag(Bdiag**2) if subtract_polaron_shift
-               else np.zeros((len(Bdiag), len(Bdiag))))
     pt = assemble_process_tensor(eta, g_of_s, nu, mu, counter, n_steps,
                                  threshold=thr, chi_max=chi_max, verbose=verbose)
     try:
         np.savez(path, stack=pt.stack, caps=pt.caps, g_of_s=pt.g_of_s,
-                 counter=pt.counter_term, chi=pt.chi, n_mem=pt.n_mem)
+                 counter=pt.counter_term, chi=pt.chi, n_mem=pt.n_mem,
+                 fingerprint=fp)
     except OSError:
         pass
     return pt
@@ -469,6 +491,11 @@ def _pt_dynmaps_core(stack, caps, g_of_s, U, E_half, W_eye, mto_sops, mto_ks,
 def propagate_pt(pt: ProcessTensor, U, E_half, rho0_vec, W, mto_sops, mto_ks,
                  mto_before=(), mto_mode=(), collect_E=False):
     """Phonon-dressed propagation; mirrors propagator.propagate's contract."""
+    if hasattr(pt, "bulk"):          # StationaryPT (engine/ptinf.py)
+        from pyaceqd_tpu.engine import ptinf
+        return ptinf.propagate_ptinf(pt, U, E_half, rho0_vec, W, mto_sops,
+                                     mto_ks, mto_before=mto_before,
+                                     mto_mode=mto_mode, collect_E=collect_E)
     cdt = config.cdtype()
     n = np.asarray(U).shape[0]
     pt = pt.prefix(n)

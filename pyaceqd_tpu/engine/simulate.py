@@ -37,6 +37,7 @@ from pyaceqd_tpu.engine import hamiltonian as ham
 from pyaceqd_tpu.engine import propagator
 from pyaceqd_tpu.ops import superop
 from pyaceqd_tpu.ops.dsl import parse_operator
+from pyaceqd_tpu.utils import profiling
 
 hbar = constants.hbar
 
@@ -216,19 +217,21 @@ def simulate(t_start, t_end, *pulses, dt=0.1, phonons=False, t_mem=20.48, ae=3.0
     pt = None
     if phonons:
         from pyaceqd_tpu.engine import ptmpo
-        pt = ptmpo.get_process_tensor(
-            boson_op=spec.boson_coupling, dt=dt, t_mem=t_mem, ae=ae,
-            temperature=temperature, n_steps=n, threshold=threshold,
-            use_infinite=use_infinite, J_file=J_file, factor_ah=factor_ah,
-            boson_e_max=boson_e_max, system_prefix=system_prefix,
-            pt_file=pt_file, temp_dir=temp_dir, J_to_file=J_to_file,
-            verbose=verbose)
+        with profiling.phase("pt_build"):
+            pt = ptmpo.get_process_tensor(
+                boson_op=spec.boson_coupling, dt=dt, t_mem=t_mem, ae=ae,
+                temperature=temperature, n_steps=n, threshold=threshold,
+                use_infinite=use_infinite, J_file=J_file, factor_ah=factor_ah,
+                boson_e_max=boson_e_max, system_prefix=system_prefix,
+                pt_file=pt_file, temp_dir=temp_dir, J_to_file=J_to_file,
+                verbose=verbose)
         # polaron-shift counter term (ACE Boson_subtract_polaron_shift true,
         # general_system.py:175): interpret level energies as the measured,
         # polaron-shifted ones
         spec.H0 = spec.H0 + pt.counter_term
 
-    U = propagator.step_unitaries(spec.H0, spec.couplings, F_mid, dt)
+    with profiling.phase("setup"):
+        U = propagator.step_unitaries(spec.H0, spec.couplings, F_mid, dt)
     has_diss = spec.diss_sop is not None
     E_half = (propagator.dissipator_half_step(spec.diss_sop, dt).astype(cdt)
               if has_diss else np.eye(d * d, dtype=cdt))
@@ -255,16 +258,18 @@ def simulate(t_start, t_end, *pulses, dt=0.1, phonons=False, t_mem=20.48, ae=3.0
     mto_sops = sops.astype(cdt)
     mto_ks = ks
 
-    if phonons:
-        from pyaceqd_tpu.engine import ptmpo
-        outputs, Es = ptmpo.propagate_pt(
-            pt, U, E_half if has_diss else None, rho0_vec, W, mto_sops, mto_ks,
-            mto_before=before, mto_mode=modes, collect_E=calc_dynmap)
-    else:
-        outputs, Es = propagator.propagate(
-            U, E_half, rho0_vec, W, mto_sops, mto_ks,
-            mto_before=before, mto_mode=modes, collect_E=calc_dynmap,
-            has_diss=has_diss)
+    with profiling.phase("device_run"), profiling.trace("simulate"):
+        if phonons:
+            from pyaceqd_tpu.engine import ptmpo
+            outputs, Es = ptmpo.propagate_pt(
+                pt, U, E_half if has_diss else None, rho0_vec, W, mto_sops,
+                mto_ks, mto_before=before, mto_mode=modes,
+                collect_E=calc_dynmap)
+        else:
+            outputs, Es = propagator.propagate(
+                U, E_half, rho0_vec, W, mto_sops, mto_ks,
+                mto_before=before, mto_mode=modes, collect_E=calc_dynmap,
+                has_diss=has_diss)
 
     outputs = np.asarray(outputs)
     result = np.empty((1 + len(spec.output_mats), len(t)), dtype=complex)

@@ -170,7 +170,13 @@ def area_sweep(spec, pulses_unit, scales, t_start, t_end, dt, pt=None,
     n_sq = max(0, int(np.ceil(np.log2(max(dt / hbar * h_bound, 0.25) / 0.5))))
 
     if pt is not None:
-        pt = pt.prefix(n)
+        if hasattr(pt, "bulk"):
+            # StationaryPT: sweeps run at Rabi-map horizons (a few hundred
+            # steps), so materializing the prefix is cheap and reuses the
+            # stacked sweep core unchanged
+            pt = pt.materialize(n)
+        else:
+            pt = pt.prefix(n)
         outs = _area_sweep_pt_core(
             pt.stack.astype(cdt), pt.caps.astype(cdt),
             np.asarray(pt.g_of_s, dtype=np.int32), spec.H0.astype(cdt), C,

@@ -144,35 +144,78 @@ class PolarizatzionEntanglement():
         """One batched fan-out serving several tau-operators at once
         (reference G2.py:439-533): each entry of op23s_ttau adds one output
         row; on this engine extra outputs are free."""
-        tau0_ops = [op1_t + " * " + op23 + " * " + op4_t for op23 in op23s_ttau]
-        n_ops = len(op23s_ttau)
+        return self.G2_reuse_multi([(op1_t, list(op23s_ttau), op4_t)],
+                                   return_full_G2=return_full_G2)[0]
+
+    def G2_reuse_multi(self, specs, return_full_G2=False):
+        """Several G2_reuse calls fused into ONE compiled batched program.
+
+        specs: list of (op1_t, [op23_ttau...], op4_t).  Lanes for all specs
+        share the trunk and step unitaries; each lane carries its own MTO
+        superoperators (per_lane_sops), so runs with different insertion
+        operators no longer dispatch separate programs (reference re-runs
+        ACE per operator pair, pol_entanglement/G2.py:301-356).  Returns one
+        G2_reuse-style result tuple per spec."""
+        from pyaceqd_tpu.engine.simulate import mto_superop
         t1 = np.asarray(self.t1)
         n_tau = int(self.tend / self.dt)
         t2 = np.linspace(0, self.tend, n_tau + 1)
         task = self._task(self.tend)
-        mtos = [{"operator": op1_t, "applyFrom": "_right", "applyBefore": "false"},
-                {"operator": op4_t, "applyFrom": "_left", "applyBefore": "false"}]
-        times = np.stack([t1, t1], axis=1)
-        gather = np.broadcast_to(t2[None, :], (len(t1), len(t2)))
-        outs = branched.batched_mto_runs(task, mtos, times, gather,
-                                         list(op23s_ttau) + tau0_ops)
-        _G2 = np.zeros([n_ops, len(t1)], dtype=complex)
-        if return_full_G2:
-            G2_full = np.zeros([n_ops, len(t1), n_tau + 1], dtype=complex)
-        for i in range(len(t1)):
-            n_t2 = n_tau - int(t1[i] / self.dt)
-            k0 = n_tau - n_t2
-            for j in range(n_ops):
-                temp = np.zeros(n_t2 + 1, dtype=complex)
-                temp[0] = outs[i, k0, n_ops + j]
-                if n_t2 > 0:
-                    temp[1:] = outs[i, k0 + 1:, j]
-                if return_full_G2:
-                    G2_full[j, i, :n_t2 + 1] = temp
-                _G2[j, i] = np.trapezoid(temp, t2[:n_t2 + 1])
-        if return_full_G2:
-            return t1, t2, _G2, np.trapezoid(_G2, t1, axis=1), G2_full
-        return t1, _G2, np.trapezoid(_G2, t1, axis=1)
+        B1 = len(t1)
+        # union of output rows over all specs (duplicate ops share a row)
+        out_rows, row_idx, spec_rows = [], {}, []
+        for op1_t, op23s, op4_t in specs:
+            rows = []
+            for op in (list(op23s)
+                       + [op1_t + " * " + o + " * " + op4_t for o in op23s]):
+                if op not in row_idx:
+                    row_idx[op] = len(out_rows)
+                    out_rows.append(op)
+                rows.append(row_idx[op])
+            spec_rows.append(rows)
+        mtos = [{"operator": specs[0][0], "applyFrom": "_right",
+                 "applyBefore": "false"},
+                {"operator": specs[0][2], "applyFrom": "_left",
+                 "applyBefore": "false"}]
+        times = np.concatenate([np.stack([t1, t1], axis=1)] * len(specs))
+        gather = np.broadcast_to(t2[None, :], (B1 * len(specs), len(t2)))
+        sops_batch = np.concatenate([
+            np.broadcast_to(
+                np.stack([
+                    mto_superop({"operator": op1_t, "applyFrom": "_right"}),
+                    mto_superop({"operator": op4_t, "applyFrom": "_left"})]),
+                (B1, 2, task.dim**2, task.dim**2))
+            for op1_t, _, op4_t in specs])
+        outs = branched.batched_mto_runs(task, mtos, times, gather, out_rows,
+                                         mto_sops_batch=sops_batch)
+        results = []
+        for si, (op1_t, op23s, op4_t) in enumerate(specs):
+            n_ops = len(op23s)
+            rows = spec_rows[si]
+            block = outs[si * B1:(si + 1) * B1]
+            _G2 = np.zeros([n_ops, B1], dtype=complex)
+            if return_full_G2:
+                G2_full = np.zeros([n_ops, B1, n_tau + 1], dtype=complex)
+            for i in range(B1):
+                # grid index by rounding (matches Task.k_of): float
+                # truncation shifts the tau axis one step for ~8% of exact
+                # dt-multiples
+                k0 = int(np.round(t1[i] / self.dt))
+                n_t2 = n_tau - k0
+                for j in range(n_ops):
+                    temp = np.zeros(n_t2 + 1, dtype=complex)
+                    temp[0] = block[i, k0, rows[n_ops + j]]
+                    if n_t2 > 0:
+                        temp[1:] = block[i, k0 + 1:, rows[j]]
+                    if return_full_G2:
+                        G2_full[j, i, :n_t2 + 1] = temp
+                    _G2[j, i] = np.trapezoid(temp, t2[:n_t2 + 1])
+            if return_full_G2:
+                results.append((t1, t2, _G2, np.trapezoid(_G2, t1, axis=1),
+                                G2_full))
+            else:
+                results.append((t1, _G2, np.trapezoid(_G2, t1, axis=1)))
+        return results
 
     # ------------------------------------------------------------------
 
@@ -204,15 +247,15 @@ class PolarizatzionEntanglement():
         """4x4 dm from only 3 batched runs via multi-output reuse
         (reference G2.py:301-356)."""
         density_matrix = np.zeros([4, 4], dtype=complex)
-        op23s = [self.axdag + " * " + self.ax, self.axdag + " * " + self.ay,
-                 self.aydag + " * " + self.ay]
-        t1, G2_1_t, G2_1 = self.G2_reuse(self.axdag, op23s, self.ax)
-        op23s = [self.axdag + " * " + self.ax, self.axdag + " * " + self.ay,
-                 self.aydag + " * " + self.ax, self.aydag + " * " + self.ay]
-        t2, G2_2_t, G2_2 = self.G2_reuse(self.axdag, op23s, self.ay)
-        op23s = [self.axdag + " * " + self.ax, self.axdag + " * " + self.ay,
-                 self.aydag + " * " + self.ay]
-        t3, G2_3_t, G2_3 = self.G2_reuse(self.aydag, op23s, self.ay)
+        op23s_a = [self.axdag + " * " + self.ax, self.axdag + " * " + self.ay,
+                   self.aydag + " * " + self.ay]
+        op23s_b = [self.axdag + " * " + self.ax, self.axdag + " * " + self.ay,
+                   self.aydag + " * " + self.ax, self.aydag + " * " + self.ay]
+        # all three reference runs (G2.py:301-356) fused into one program
+        (t1, G2_1_t, G2_1), (t2, G2_2_t, G2_2), (t3, G2_3_t, G2_3) = \
+            self.G2_reuse_multi([(self.axdag, op23s_a, self.ax),
+                                 (self.axdag, op23s_b, self.ay),
+                                 (self.aydag, op23s_a, self.ay)])
 
         density_matrix[0, 0] = np.abs(G2_1[0])
         density_matrix[3, 3] = np.abs(G2_3[2])
@@ -259,19 +302,18 @@ class PolarizatzionEntanglement():
     # ------------------------------------------------------------------
 
     def calc_timedep_data(self):
-        """Full G2(t, tau) for all 10 matrix elements (reference G2.py:359-373)."""
-        op23s = [self.axdag + " * " + self.ax, self.axdag + " * " + self.ay,
-                 self.aydag + " * " + self.ay]
-        t1, t2, _, _, G2_1_full = self.G2_reuse(self.axdag, op23s, self.ax,
-                                                return_full_G2=True)
-        op23s = [self.axdag + " * " + self.ax, self.axdag + " * " + self.ay,
-                 self.aydag + " * " + self.ax, self.aydag + " * " + self.ay]
-        t1, t2, _, _, G2_2_full = self.G2_reuse(self.axdag, op23s, self.ay,
-                                                return_full_G2=True)
-        op23s = [self.axdag + " * " + self.ax, self.axdag + " * " + self.ay,
-                 self.aydag + " * " + self.ay]
-        t1, t2, _, _, G2_3_full = self.G2_reuse(self.aydag, op23s, self.ay,
-                                                return_full_G2=True)
+        """Full G2(t, tau) for all 10 matrix elements (reference G2.py:359-373),
+        one fused program for the three operator sets."""
+        op23s_a = [self.axdag + " * " + self.ax, self.axdag + " * " + self.ay,
+                   self.aydag + " * " + self.ay]
+        op23s_b = [self.axdag + " * " + self.ax, self.axdag + " * " + self.ay,
+                   self.aydag + " * " + self.ax, self.aydag + " * " + self.ay]
+        res = self.G2_reuse_multi([(self.axdag, op23s_a, self.ax),
+                                   (self.axdag, op23s_b, self.ay),
+                                   (self.aydag, op23s_a, self.ay)],
+                                  return_full_G2=True)
+        (t1, t2, _, _, G2_1_full) = res[0]
+        G2_2_full, G2_3_full = res[1][4], res[2][4]
         return t1, t2, np.append(G2_1_full, np.append(G2_2_full, G2_3_full, axis=0), axis=0)
 
     def integrate_g2_tau(self, t1, t2, G2_full):

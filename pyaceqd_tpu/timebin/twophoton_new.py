@@ -98,7 +98,7 @@ class TwoPhotonTimebinNew(TimeBin):
             _G2 = np.zeros(len(t1))
             _G2_t1t2 = np.zeros([len(t1), len(t2)])
             for i in range(len(t1)):
-                n_t2 = n_tau - int(t1[i] / self.dt)
+                n_t2 = n_tau - int(np.round(t1[i] / self.dt))
                 temp = np.zeros(n_t2 + 1)
                 temp[0] = np.abs(outs[i, 0, 1])
                 if n_t2 > 0:
@@ -280,9 +280,12 @@ class TwoPhotonTimebinNew(TimeBin):
             output_ops)
         _G21 = np.zeros(len(t1), dtype=complex)
         for i in range(len(t1)):
-            n_t2 = n_tau - int(t1[i] / self.dt)
+            # round before int: the gather columns index absolute (tb + t2)
+            # grid points while the MTO fires at round((t1+tb)/dt), so float
+            # truncation (e.g. 4.3/0.1 -> 42) would shift the tau axis
+            k0 = int(np.round(t1[i] / self.dt))
+            n_t2 = n_tau - k0
             temp = np.zeros(n_t2 + 1, dtype=complex)
-            k0 = n_tau - n_t2
             temp[0] = outs[i, k0, 1]
             if n_t2 > 0:
                 temp[1:] = outs[i, k0 + 1:, 0]

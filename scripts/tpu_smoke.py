@@ -141,6 +141,44 @@ def main():
         assert 0 <= rho_el / norm <= 0.5 + 1e-9
     check("one-photon timebin dm", t_timebin)
 
+    def t_stationary_long():
+        # stationary (use_Gaussian_infinite-style) PT: an 800 ps horizon
+        # (8000 steps) propagated with the O(1)-storage uniform bulk; decay
+        # and trace must stay exact at f32
+        res = tls(0, 800, dt=0.1, gamma_e=1 / 400, lindblad=True,
+                  phonons=True, t_mem=3.2, ae=3.0, temperature=4,
+                  threshold=8, use_infinite=True, initial="|1><1|_2",
+                  temp_dir=ptdir)
+        x = np.real(res[2])
+        trace = np.real(res[1] + res[2])
+        assert np.max(np.abs(trace - 1.0)) < 2e-3
+        assert abs(x[-1] - np.exp(-2)) < 5e-3
+    check("stationary PT 800ps horizon", t_stationary_long)
+
+    def t_timebin_phonons():
+        # SURVEY config 4 with phonons (reduced scale of examples/06): EE
+        # diagonal of the two-photon timebin dm through full-chain PT lanes
+        from pyaceqd_tpu.models.dark_model import darkmodel
+        from pyaceqd_tpu.pulses import Pulse
+        from pyaceqd_tpu.timebin import TwoPhotonTimebinNew
+        tb_len = 60.0
+        p1 = Pulse(tau=1.5, e_start=-2, e0=2 * np.pi, t0=6, polar_x=0)
+        p2 = Pulse(tau=1.5, e_start=-2, e0=2 * np.pi, t0=6 + tb_len,
+                   polar_x=0)
+        opts = {"verbose": False, "delta_xd": 4, "delta_b": 4,
+                "gamma_e": 0.1, "gamma_b": 0.1, "lindblad": True,
+                "phonons": True, "ae": 3.0, "temperature": 4.0,
+                "use_infinite": True, "threshold": 7, "temp_dir": ptdir}
+        tpb = TwoPhotonTimebinNew(darkmodel, "|0><1|_4", "|1><0|_4",
+                                  "|1><3|_4", "|3><1|_4", p1, p2, dt=0.2,
+                                  dim=4, tb=tb_len, gaussian_t=10,
+                                  options=opts)
+        t1, g2, ee = tpb.rho_ee_ee()
+        _, _, ll = tpb.rho_ll_ll()
+        assert ee > 0 and ll > 0 and np.isfinite(ee) and np.isfinite(ll)
+        assert np.isclose(ee, ll, rtol=0.25)   # symmetric protocol
+    check("two-photon timebin with phonons", t_timebin_phonons)
+
     n_fail = sum(1 for r in RESULTS if r[1] == "FAIL")
     print("\n%d/%d passed" % (len(RESULTS) - n_fail, len(RESULTS)))
     sys.exit(1 if n_fail else 0)
