@@ -357,13 +357,31 @@ class Indistinguishability(Purity):
 
         n_map = dms_sep[0].shape[0]
         d2 = self.dim ** 2
-        # per-branch blocks: MTO-dependent within memory, generic beyond
+        # per-branch blocks: MTO-dependent within memory, generic beyond.
+        # All within-memory insertion times run as ONE batched dynamical-map
+        # program (the reference fans these out as ACE subprocesses over a
+        # ThreadPool, purity.py:669-681; a per-t calc_dynmap loop costs one
+        # compile+dispatch each)
         blocks = np.empty((len(t1), n_map, d2, d2), dtype=complex)
         blocks[:] = dms_sep[1]
-        for i in t_mem_indices:
-            part = self.get_dm2_phonons_advanced(mtos, float(np.round(t1[i], 6)), i)
-            blocks[i] = tl_map
-            blocks[i, :len(part)] = part
+        if len(t_mem_indices):
+            from pyaceqd_tpu.engine import branched
+            t_end = self.gaussian_t + 2 * self.t_mem + 2 * self.dt
+            task = self.system(0, t_end, return_task=True, output_ops=[],
+                               **self.options)
+            t_ins = np.round(t1[t_mem_indices], 6)
+            times = np.stack([t_ins] * len(mtos), axis=1)
+            dms_b = branched.batched_dynmap_runs(task, mtos, times)
+            _t = np.round(np.asarray(task.t).real, 6)
+            for row, i in enumerate(t_mem_indices):
+                dm_tl = calc_tl_dynmap_pseudo(dms_b[row], _t)
+                memory_time = max(self.gaussian_t + self.t_mem - t_ins[row],
+                                  self.t_mem)
+                _, dms_i = extract_dms(dm_tl, _t, memory_time,
+                                       t_MTOs=[float(t_ins[row])])
+                part = dms_i[1]
+                blocks[i] = tl_map
+                blocks[i, :len(part)] = part
 
         # trunk + background: pulse block then stationary map, periodic
         n_bins = self.factor_t + self.factor_tau + 1
