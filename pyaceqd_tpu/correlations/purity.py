@@ -94,7 +94,8 @@ class Purity(TimeBin):
             gather = t_apply[:, None] + t2[None, :]
             outs = branched.batched_mto_runs(task, mtos, times,
                                              np.clip(gather, 0, tend),
-                                             [out_op1, out_op_tau0])
+                                             [out_op1, out_op_tau0],
+                                             mesh=self.mesh)
             _G2[i * len(t1):(i + 1) * len(t1), 1:] = np.abs(outs[:, 1:, 0])
             _G2[i * len(t1):(i + 1) * len(t1), 0] = np.abs(outs[:, 0, 1])
         if return_whole:
@@ -167,7 +168,8 @@ class Indistinguishability(Purity):
             gather = t_apply[:, None] + t2[None, :]
             outs = branched.batched_mto_runs(task, [mto], times,
                                              np.clip(gather, 0, tend),
-                                             [out_op1, out_op_tau0])
+                                             [out_op1, out_op_tau0],
+                                             mesh=self.mesh)
             _G1[i * len(t1):(i + 1) * len(t1), 1:] = outs[:, 1:, 0]
             _G1[i * len(t1):(i + 1) * len(t1), 0] = outs[:, 0, 1]
         G1 = np.trapezoid(np.abs(_G1) ** 2, self.t_axis_complete, axis=0)

@@ -451,8 +451,13 @@ def batched_dynmap_runs(task: Task, mtos, mto_times, chunk=32):
         hi = min(B, lo + chunk)
         mk = mto_ks[lo:hi]
         if task.pt is not None:
-            pt = task.pt.prefix(task.U.shape[0] if hasattr(task.U, "shape")
-                                else len(task.t) - 1)
+            n_run = (task.U.shape[0] if hasattr(task.U, "shape")
+                     else len(task.t) - 1)
+            pt = task.pt.prefix(n_run)
+            if hasattr(pt, "bulk") and n_run < pt.n_init:
+                # run shorter than the initial segment: use the stacked core
+                # on the materialized prefix
+                pt = pt.materialize(n_run)
             if hasattr(pt, "bulk"):
                 out.append(np.asarray(_vmapped_dynmaps_ptinf_core(
                     pt.init_stack.astype(cdt), pt.init_caps.astype(cdt),

@@ -451,12 +451,14 @@ def _ptinf_dynmaps_core(init_stack, init_caps, bulk, cap_bulk, g_of_s, U,
     return jnp.transpose(outs, (1, 2, 0))
 
 
-@hostsafe(static_argnames=("mto_before", "has_diss"))
+@hostsafe(static_argnames=("mto_before", "has_diss", "per_lane_sops"))
 def _vmapped_runs_ptinf_core(init_stack, init_caps, bulk, cap_bulk, g_of_s,
                              U, E_half, rho0_vec, W, mto_sops, mto_ks_batch,
-                             gather_ks, mto_before=(), has_diss=True):
+                             gather_ks, mto_before=(), has_diss=True,
+                             per_lane_sops=False):
     """Uniform-PT twin of branched._vmapped_runs_pt_core: B lanes sharing
-    the trunk setup, each with its own MTO insertion indices."""
+    the trunk setup, each with its own MTO insertion indices (and, with
+    per_lane_sops, its own operator superoperators)."""
     n = U.shape[0]
     d = U.shape[1]
     d2 = d * d
@@ -465,11 +467,11 @@ def _vmapped_runs_ptinf_core(init_stack, init_caps, bulk, cap_bulk, g_of_s,
     n_mto = len(mto_before)
     Qs_bulk = bulk[:, g_of_s, :]
 
-    def one_run(mks, gks):
+    def one_run(mks, gks, sops):
         def apply_mtos(A, k, before_phase):
             for i in range(n_mto):
                 if mto_before[i] == before_phase:
-                    A = jnp.where(k == mks[i], A @ mto_sops[i].T, A)
+                    A = jnp.where(k == mks[i], A @ sops[i].T, A)
             return A
 
         def sys_step(A, Uk):

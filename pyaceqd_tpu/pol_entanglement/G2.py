@@ -29,6 +29,8 @@ class PolarizatzionEntanglement():
         self.system = system
         self.dt = dt
         self.options = dict(options)
+        # optional jax.sharding.Mesh for the lane fan-outs (multi-chip)
+        self.mesh = self.options.pop("mesh", None)
         self.options["dt"] = dt
         self.tend = tend
         self.remove_files = remove_files
@@ -106,7 +108,7 @@ class PolarizatzionEntanglement():
         times = t1[:, None]
         gather = t1[:, None] + t2[None, :]
         outs = branched.batched_mto_runs(task, [mto], times, gather,
-                                         [op2_ttau, tau0_op])
+                                         [op2_ttau, tau0_op], mesh=self.mesh)
         _G1 = np.zeros([len(t1), len(t2)], dtype=complex)
         _G1[:, 0] = outs[:, 0, 1]
         _G1[:, 1:] = outs[:, 1:, 0]
@@ -187,7 +189,8 @@ class PolarizatzionEntanglement():
                 (B1, 2, task.dim**2, task.dim**2))
             for op1_t, _, op4_t in specs])
         outs = branched.batched_mto_runs(task, mtos, times, gather, out_rows,
-                                         mto_sops_batch=sops_batch)
+                                         mto_sops_batch=sops_batch,
+                                         mesh=self.mesh)
         results = []
         for si, (op1_t, op23s, op4_t) in enumerate(specs):
             n_ops = len(op23s)

@@ -85,7 +85,7 @@ class OnePhotonTimebin(TimeBin):
         times = np.asarray(t1)[:, None]
         gather = times + self.tb
         outs = branched.batched_mto_runs(task, [mto], times, gather,
-                                         [self.sigma_x])
+                                         [self.sigma_x], mesh=self.mesh)
         return np.asarray(t1), outs[:, 0, 0]
 
 
@@ -120,7 +120,7 @@ class OnePhotonCavity(TimeBin):
         gather = times + np.linspace(0, self.tb, n_tau + 1)[None, :]
         outs = branched.batched_mto_runs(
             task, [mto], times, gather,
-            ["|0><0|_3 otimes |1><1|_3", self.sigma_x])
+            ["|0><0|_3 otimes |1><1|_3", self.sigma_x], mesh=self.mesh)
         _G1 = np.zeros(len(t1), dtype=complex)
         for i in range(len(t1)):
             g1_temp = np.zeros(2 * n_tau + 1, dtype=complex)
@@ -145,7 +145,7 @@ class OnePhotonCavity(TimeBin):
             0, 2 * self.tb, 2 * n_tau + 1)[None, :]
         outs = branched.batched_mto_runs(
             task, [mto], times, np.clip(gather, 0, float(t1[-1]) + self.tb),
-            ["|0><0|_3 otimes |1><1|_3", self.sigma_x])
+            ["|0><0|_3 otimes |1><1|_3", self.sigma_x], mesh=self.mesh)
         _G1 = np.trapezoid(outs[:, :, 1], t2, axis=1)
         return t1, _G1
 
@@ -166,7 +166,7 @@ class OnePhotonCavity(TimeBin):
         gather = T1.reshape(-1, 1)
         outs = branched.batched_mto_runs(
             task, [mto], apply_t, gather,
-            ["|0><0|_3 otimes |1><1|_3", self.sigma_xdag])
+            ["|0><0|_3 otimes |1><1|_3", self.sigma_xdag], mesh=self.mesh)
         _G1 = outs[:, 0, 1].reshape(len(t1), len(t2))
         _G1 = np.trapezoid(_G1, t2, axis=1)
         return t1, _G1

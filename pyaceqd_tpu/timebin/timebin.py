@@ -19,6 +19,9 @@ class TimeBin:
         self.system = system
         self.dt = dt
         self.options = dict(options)
+        # optional jax.sharding.Mesh: shards every MTO-lane fan-out of this
+        # protocol over the mesh 'batch' axis (multi-chip twin of workers=N)
+        self.mesh = self.options.pop("mesh", None)
         self.options["dt"] = dt
         self.tb = tb
         self.simple_exp = simple_exp

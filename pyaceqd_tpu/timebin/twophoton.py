@@ -103,7 +103,7 @@ class TwoPhotonTimebin(TimeBin):
         win = window_start(t1)[:, None] + t2[None, :]
         outs = branched.batched_mto_runs(task, mtos, times,
                                          np.clip(win, 0, tend),
-                                         [self.x_op, self.b_op])
+                                         [self.x_op, self.b_op], mesh=self.mesh)
         return t1, t2, outs
 
     def rho_ee_ee(self, dt_small=0.1):
@@ -158,7 +158,7 @@ class TwoPhotonTimebin(TimeBin):
         win = self.tb + t2
         outs = branched.batched_mto_runs(
             task, mtos, times, np.broadcast_to(win, (len(t1), len(win))),
-            [self.b_op])
+            [self.b_op], mesh=self.mesh)
         _G2 = np.zeros(len(t1))
         for i in range(len(t1)):
             temp = np.abs(outs[i, :, 0]).copy()
@@ -183,7 +183,7 @@ class TwoPhotonTimebin(TimeBin):
         times = np.stack([t1[ii], t1[jj], t1[ii] + self.tb], axis=1)
         gather = (t1[jj] + self.tb)[:, None]
         outs = branched.batched_mto_runs(task, mtos, times, gather,
-                                         [self.sigma_x, self.gb_op])
+                                         [self.sigma_x, self.gb_op], mesh=self.mesh)
         vals = np.where(ii == jj, outs[:, 0, 1], outs[:, 0, 0])
         _G2 = np.zeros(len(t1), dtype=complex)
         g2plot = np.zeros([len(t1), len(t1)], dtype=complex)
@@ -206,7 +206,7 @@ class TwoPhotonTimebin(TimeBin):
                 {"operator": self.sigma_xdag, "applyFrom": "_right", "applyBefore": "false"}]
         times = np.stack([t1[ii], t1[ii], t1[jj]], axis=1)
         gather = (t1[jj] + self.tb)[:, None]
-        outs = branched.batched_mto_runs(task, mtos, times, gather, [self.sigma_x])
+        outs = branched.batched_mto_runs(task, mtos, times, gather, [self.sigma_x], mesh=self.mesh)
         vals = np.abs(outs[:, 0, 0])
         _G2 = np.zeros(len(t1), dtype=complex)
         mat = np.zeros([len(t1), len(t1)])
@@ -225,7 +225,7 @@ class TwoPhotonTimebin(TimeBin):
                 {"operator": self.sigma_xdag, "applyFrom": "_right", "applyBefore": "false"}]
         times = np.stack([t1[ii], t1[ii], t1[jj]], axis=1)
         gather = (t1[jj] + self.tb)[:, None]
-        outs = branched.batched_mto_runs(task, mtos, times, gather, [self.sigma_b])
+        outs = branched.batched_mto_runs(task, mtos, times, gather, [self.sigma_b], mesh=self.mesh)
         vals = np.abs(outs[:, 0, 0])
         _G2 = np.zeros(len(t1), dtype=complex)
         mat = np.zeros([len(t1), len(t1)])
@@ -249,7 +249,7 @@ class TwoPhotonTimebin(TimeBin):
         times = np.stack([t1[ii], t1[ii] + self.tb], axis=1)
         gather = (t1[jj] + self.tb)[:, None]
         outs = branched.batched_mto_runs(task, mtos, times, gather,
-                                         [self.x_op, self.sigma_b])
+                                         [self.x_op, self.sigma_b], mesh=self.mesh)
         vals = np.where(ii == jj, np.abs(outs[:, 0, 1]), np.abs(outs[:, 0, 0]))
         _G2 = np.zeros(len(t1), dtype=complex)
         mat = np.zeros([len(t1), len(t1)])

@@ -94,7 +94,7 @@ class TwoPhotonTimebinNew(TimeBin):
             win = (t1 + add_time)[:, None] + t2[None, :]
             outs = branched.batched_mto_runs(task, mtos, times,
                                              np.clip(win, 0, tend),
-                                             [out_op1, out_op_tau0])
+                                             [out_op1, out_op_tau0], mesh=self.mesh)
             _G2 = np.zeros(len(t1))
             _G2_t1t2 = np.zeros([len(t1), len(t2)])
             for i in range(len(t1)):
@@ -143,7 +143,7 @@ class TwoPhotonTimebinNew(TimeBin):
         win = self.tb + t2
         outs = branched.batched_mto_runs(
             task, [sigma_X, sigma_Xdag], times,
-            np.broadcast_to(win, (len(t1), len(win))), output_ops)
+            np.broadcast_to(win, (len(t1), len(win))), output_ops, mesh=self.mesh)
         _G2 = np.zeros(len(t1))
         for i in range(len(t1)):
             temp = np.abs(outs[i, :, 0]).copy()
@@ -173,7 +173,7 @@ class TwoPhotonTimebinNew(TimeBin):
         mtos = [dict(sigma_1), dict(sigma_2), dict(sigma_3)]
         times = np.stack([t1[ii], t1[jj], t1[ii] + self.tb], axis=1)
         gather = (t1[jj] + self.tb)[:, None]
-        outs = branched.batched_mto_runs(task, mtos, times, gather, output_ops)
+        outs = branched.batched_mto_runs(task, mtos, times, gather, output_ops, mesh=self.mesh)
         vals = np.where(ii == jj, outs[:, 0, 1], outs[:, 0, 0])
         _G2 = np.zeros(len(t1), dtype=complex)
         _G2_t1t2 = np.zeros([len(t1), len(t1)], dtype=complex)
@@ -218,7 +218,7 @@ class TwoPhotonTimebinNew(TimeBin):
                 {"operator": op_xdag, "applyFrom": "_right", "applyBefore": "false"}]
         times = np.stack([t1[ii], t1[ii], t1[jj]], axis=1)
         gather = (t1[jj] + self.tb)[:, None]
-        outs = branched.batched_mto_runs(task, mtos, times, gather, [output_op])
+        outs = branched.batched_mto_runs(task, mtos, times, gather, [output_op], mesh=self.mesh)
         mat = np.zeros([len(t1), len(t1)], dtype=complex)
         mat[ii, jj] = outs[:, 0, 0]
         _G21 = np.array([np.trapezoid(mat[i, i:], t1[i:]) for i in range(len(t1))])
@@ -230,7 +230,7 @@ class TwoPhotonTimebinNew(TimeBin):
                 {"operator": op_bdag, "applyFrom": "_right", "applyBefore": "false"}]
         times = np.stack([t1[ii], t1[jj], t1[jj]], axis=1)
         gather = (t1[ii] + self.tb)[:, None]
-        outs = branched.batched_mto_runs(task, mtos, times, gather, [output_op])
+        outs = branched.batched_mto_runs(task, mtos, times, gather, [output_op], mesh=self.mesh)
         mat = np.zeros([len(t1), len(t1)], dtype=complex)
         mat[ii, jj] = outs[:, 0, 0]
         _G22 = np.array([np.trapezoid(mat[i, i:], t1[i:]) for i in range(len(t1))])
@@ -277,7 +277,7 @@ class TwoPhotonTimebinNew(TimeBin):
         win = self.tb + t2
         outs = branched.batched_mto_runs(
             task, mtos, times, np.broadcast_to(win, (len(t1), len(win))),
-            output_ops)
+            output_ops, mesh=self.mesh)
         _G21 = np.zeros(len(t1), dtype=complex)
         for i in range(len(t1)):
             # round before int: the gather columns index absolute (tb + t2)
@@ -307,7 +307,7 @@ class TwoPhotonTimebinNew(TimeBin):
         times = np.stack([t1[jj], t1[ii] + self.tb, t1[ii] + self.tb], axis=1)
         gather = (t1[jj] + self.tb)[:, None]
         outs = branched.batched_mto_runs(task, mtos, times, gather,
-                                         output_ops2)
+                                         output_ops2, mesh=self.mesh)
         vals = np.where(ii == jj, outs[:, 0, 1], outs[:, 0, 0])
         mat = np.zeros([len(t1), len(t1)], dtype=complex)
         mat[ii, jj] = vals
