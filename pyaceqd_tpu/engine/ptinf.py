@@ -197,6 +197,7 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
     prev_sig = None
     prev_s = None
     steady = 0
+    drift_hist = []       # per-emission gauge-invariant drift (plateau check)
     chi_lock = None
     R_emit = None         # emission index at which steady state was declared
     max_iter = max(max_iter_factor * w_eff, w_eff + 30)
@@ -216,23 +217,33 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
         scales.append(s)
         if phase == "grow":
             # steady-state detection on gauge-invariant data: per-step norm
-            # growth and window Schmidt spectrum
+            # growth and window Schmidt spectrum.  Two criteria, either
+            # suffices: (a) absolute — drift below steady_tol (30*thr) for
+            # steady_runs consecutive emissions; (b) plateau — the drift has
+            # stopped improving against its own history (its floor is set by
+            # the truncation-rank wobble, which for tight thresholds never
+            # reaches 30*thr; the transient decays like the slow kernel
+            # tail, so an absolute tolerance alone can hang forever).
             L, _hat = _right_canonicalize(chain)
             sig = np.linalg.svd(L, compute_uv=False)
             nrm = np.linalg.norm(sig)
             sig = sig / (nrm if nrm > 0 else 1.0)
             if prev_sig is not None:
-                # rank at the threshold cut wobbles by +-1 between
-                # iterations; compare padded (the marginal value is ~thr,
-                # below steady_tol by construction)
                 k = max(len(sig), len(prev_sig))
                 a = np.pad(sig, (0, k - len(sig)))
                 b = np.pad(prev_sig, (0, k - len(prev_sig)))
-                if (abs(s - prev_s) <= steady_tol * abs(s)
-                        and np.max(np.abs(a - b)) <= steady_tol):
+                d = max(abs(s - prev_s) / abs(s), float(np.max(np.abs(a - b))))
+                drift_hist.append(d)
+                if d <= steady_tol:
                     steady += 1
                 else:
                     steady = 0
+                if (steady < steady_runs and len(drift_hist) >= 20
+                        and len(emitted) >= w_eff):
+                    older = np.median(drift_hist[-20:-10])
+                    recent = np.median(drift_hist[-10:])
+                    if recent > 0.5 * older and recent < 1e-4:
+                        steady = steady_runs      # plateau reached
             prev_sig, prev_s = sig, s
             if steady >= steady_runs and len(emitted) >= w_eff:
                 # settled — run an unlocked wash so the emission rank can
