@@ -389,11 +389,31 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
         # stationary (repeated/infinite) PT: O(n_mem) build, O(1) storage,
         # unbounded horizon — ACE's use_Gaussian_infinite
         # (general_system.py:165-174).  Own cache file, keyed like the finite
-        # one plus the fingerprint.
+        # one plus the fingerprint.  Uses the ONSITE tail absorption: the
+        # "last"-cell absorption (finite default) lumps a bump at the window
+        # edge that destabilizes the periodic zip-up fixed point, while the
+        # sharp cut (ACE's exact t_mem semantics) leaves a spurious linear
+        # coherence growth at small t_mem; folding the tail into eta[0]
+        # keeps the fixed point stable AND kills the linear artifact (see
+        # spectral.eta_coefficients and the engine/ptinf.py docstring).
         from pyaceqd_tpu.engine import ptinf
-        inf_path = path.replace("_ptmpo_v2.npz", "_ptinf_v1.npz")
-        return ptinf.load_or_build(inf_path, eta, g_of_s, nu, mu, counter,
-                                   thr, chi_max, fp, verbose=verbose)
+        eta_inf = spectral.eta_coefficients(J, dt, n_mem, temperature,
+                                            e_max_mev=boson_e_max,
+                                            absorb_tail="onsite")
+        import hashlib as _h
+        fp_inf = _h.sha256(
+            np.ascontiguousarray(eta_inf).tobytes()
+            + repr((int(chi_max), bool(subtract_polaron_shift))).encode()
+        ).hexdigest()
+        inf_path = path.replace("_ptmpo_v2.npz", "_ptinf_v3.npz")
+        try:
+            return ptinf.load_or_build(inf_path, eta_inf, g_of_s, nu, mu,
+                                       counter, thr, chi_max, fp_inf,
+                                       verbose=verbose)
+        except RuntimeError as e:
+            import warnings
+            warnings.warn("stationary PT build failed ({}); falling back to "
+                          "the finite-horizon builder".format(e))
 
     if os.path.exists(path):
         z = np.load(path, allow_pickle=False)

@@ -29,7 +29,7 @@ def cache_dir(tmp_path_factory):
 def _options(cache_dir):
     return {"gamma_e": GAMMA, "lindblad": True, "phonons": True,
             "t_mem": TMEM, "ae": 3.0, "temperature": 4, "threshold": 8,
-            "temp_dir": cache_dir, "initial": "|1><1|_2"}
+            "temp_dir": cache_dir, "use_infinite": False, "initial": "|1><1|_2"}
 
 
 def test_tl_three_op_phonons_exact_decay(cache_dir):
@@ -85,7 +85,7 @@ def test_direct_fanout_carries_phonon_dephasing(cache_dir):
     from pyaceqd_tpu.correlations import two_op_two_time
     from pyaceqd_tpu.engine import spectral
     opts = {"gamma_e": 0.0, "lindblad": False, "phonons": True,
-            "t_mem": TMEM, "ae": 3.0, "temperature": 4, "threshold": 8,
+            "t_mem": TMEM, "ae": 3.0, "temperature": 4, "threshold": 8, "use_infinite": False,
             "temp_dir": cache_dir,
             "initial": "0.5*(|0><0|_2+|0><1|_2+|1><0|_2+|1><1|_2)"}
     t, tau, G = two_op_two_time(

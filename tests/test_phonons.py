@@ -25,7 +25,7 @@ def cache_dir(tmp_path_factory):
     # the longest horizon so every test reuses its prefix
     d = tmp_path_factory.mktemp("ptcache")
     tls(0, 20, dt=DT, phonons=True, t_mem=TMEM, ae=AE, temperature=TEMP,
-        temp_dir=str(d), threshold=8)
+        temp_dir=str(d), threshold=8, use_infinite=False)
     return d
 
 
@@ -33,7 +33,7 @@ def _ibm_run(tmp_path, t_end=8.0, temperature=TEMP):
     rho0 = np.array([[0.5, 0.5], [0.5, 0.5]], dtype=complex)
     res = tls(0, t_end, dt=DT, phonons=True, t_mem=TMEM, ae=AE,
               temperature=temperature, rho0=rho0, lindblad=False,
-              temp_dir=str(tmp_path), threshold=8)
+              temp_dir=str(tmp_path), threshold=8, use_infinite=False)
     return res
 
 
@@ -72,7 +72,7 @@ def test_phonon_damped_rabi(cache_dir):
     # trace preserved under drive
     p = Pulse(tau=2, e_start=0, e0=1, t0=8)
     res = tls(0, 20, p, dt=DT, phonons=True, t_mem=TMEM, ae=AE, temperature=TEMP,
-              temp_dir=str(cache_dir), threshold=8)
+              temp_dir=str(cache_dir), threshold=8, use_infinite=False)
     occ = res[2][-1].real
     assert 0.8 < occ < 0.999
     assert np.allclose((res[1] + res[2]).real, 1.0, atol=1e-5)
@@ -96,7 +96,7 @@ def test_phonon_mto(cache_dir):
     p = Pulse(tau=2, e_start=0, e0=1, t0=8)
     mto = {"operator": "|0><1|_2", "time": 14.0, "applyFrom": ""}
     res = tls(0, 20, p, dt=DT, phonons=True, t_mem=TMEM, ae=AE, temperature=TEMP,
-              temp_dir=str(cache_dir), threshold=8, multitime_op=mto)
+              temp_dir=str(cache_dir), threshold=8, use_infinite=False, multitime_op=mto)
     t = res[0].real
     i = np.argmin(np.abs(t - 14.0))
     assert res[2][i].real > 0.5
@@ -107,7 +107,7 @@ def test_phonon_dynmap(cache_dir):
     # dynamical maps with phonons reproduce direct outputs
     p = Pulse(tau=2, e_start=0, e0=0.8, t0=6)
     res, dm = tls(0, 12, p, dt=DT, phonons=True, t_mem=TMEM, ae=AE,
-                  temperature=TEMP, temp_dir=str(cache_dir), threshold=8,
+                  temperature=TEMP, temp_dir=str(cache_dir), threshold=8, use_infinite=False,
                   calc_dynmap=True)
     rho0 = np.array([1, 0, 0, 0], dtype=complex)
     occ = [0.0]

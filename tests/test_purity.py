@@ -68,7 +68,7 @@ def test_g2_tl_phonons_smoke(tmp_path):
     p = _source()
     opts = dict(OPTS)
     opts.update({"phonons": True, "ae": 5.0, "temperature": 4, "t_mem": 1.6,
-                 "threshold": 7, "temp_dir": str(tmp_path)})
+                 "threshold": 7, "temp_dir": str(tmp_path), "use_infinite": False})
     ind = Indistinguishability(tls, "|0><1|_2", "|1><0|_2", p, dt=0.2, tb=20.0,
                                dt_small=0.2, gaussian_t=8, options=opts, dm=True,
                                t_mem=1.6)
