@@ -113,6 +113,77 @@ def _svd_sweep_rl(chain, thr, chi_max, prev=None, rec=None):
     return chain
 
 
+def _zip_layer_sweep(chain, b0, bD, d_of_g, w_eff, thr, chi_max,
+                     prev=None, rec=None):
+    """Fused ptmpo._apply_layer + right-to-left zip-up truncation.
+
+    Mathematically identical to
+    ``_svd_sweep_rl(_apply_layer(chain, ...), thr, chi_max, prev, rec)`` but
+    never materializes the block-diagonal bond-expanded site tensors
+    ((chi D, G, chi D) zero-padded arrays): the expanded site is contracted
+    with the already-truncated carry C from the right on the fly, so the
+    fold costs chi*G*chi*D*keep instead of (chi D)*G*(chi D)*keep and the
+    peak memory stays O(chi G chi).  Same SVD inputs -> same truncation
+    decisions -> same fixed point as the unfused pair."""
+    W = len(chain)
+    G = len(b0)
+    D = bD.shape[1] if len(bD) else 1
+    out = list(chain) + [None]
+    N = np.zeros((D, G, 1), dtype=complex)
+    N[d_of_g, np.arange(G), 0] = b0
+    if W == 0 or w_eff == 0:
+        N = N.sum(axis=0, keepdims=True)
+    start = max(0, W - w_eff)
+    cur = N
+    for j in range(W, start, -1):
+        a, g, b = cur.shape
+        U, S, Vh = _svd_pinned(cur.reshape(a, g * b))
+        keep = int(np.sum(S > S[0] * thr)) if S[0] > 0 else 1
+        keep = max(1, min(chi_max, keep))
+        V = Vh[:keep]
+        C = U[:, :keep] * S[:keep]
+        if prev is not None and j in prev and prev[j].shape == V.shape:
+            M = prev[j] @ V.conj().T
+            uu, _, vv = np.linalg.svd(M)
+            R = uu @ vv
+            V = R @ V
+            C = C @ R.conj().T
+        if rec is not None:
+            rec[j] = V
+        out[j] = V.reshape(keep, g, b)
+        P = chain[j - 1]
+        delta = W - (j - 1)
+        B = bD[delta - 1]                       # (D, G)
+        Crs = C.reshape(P.shape[2], D, keep)    # right composite is (r, c)
+        if j - 1 == start:
+            # oldest in-window site: left bond not expanded
+            cur = np.einsum('lgr,cg,rck->lgk', P, B, Crs, optimize=True)
+        else:
+            tmp = np.einsum('lgr,rck->lcgk', P, Crs, optimize=True)
+            cur = (tmp * B[None, :, :, None]).reshape(
+                P.shape[0] * D, G, keep)
+    out[start] = cur
+    # plain zip-up over the untouched older sites (below the kernel range)
+    for i in range(start, 0, -1):
+        a, g, b = out[i].shape
+        U, S, Vh = _svd_pinned(out[i].reshape(a, g * b))
+        keep = int(np.sum(S > S[0] * thr)) if S[0] > 0 else 1
+        keep = max(1, min(chi_max, keep))
+        V = Vh[:keep]
+        C = U[:, :keep] * S[:keep]
+        if prev is not None and i in prev and prev[i].shape == V.shape:
+            M = prev[i] @ V.conj().T
+            uu, _, vv = np.linalg.svd(M)
+            R = uu @ vv
+            V = R @ V
+            C = C @ R.conj().T
+        if rec is not None:
+            rec[i] = V
+        out[i] = V.reshape(keep, g, b)
+        out[i - 1] = np.einsum('agb,bc->agc', out[i - 1], C)
+    return out
+
+
 def _right_canonicalize(chain):
     """(L, hatted chain): hatted sites row-orthonormal, chain == L @ hatted."""
     ch = [c.copy() for c in chain]
@@ -253,9 +324,10 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
         use_prev = align_from is not None and m >= align_from + (period or 0)
         ph = m % period if period else 0
         rec1, rec2 = {}, {}
-        chain = _apply_layer(chain, b0, bD, d_of_g, w_eff)
-        chain = _svd_sweep_rl(chain, threshold * 0.1, chi_max,
-                              prev=hist1[ph] if use_prev else None, rec=rec1)
+        chain = _zip_layer_sweep(chain, b0, bD, d_of_g, w_eff,
+                                 threshold * 0.1, chi_max,
+                                 prev=hist1[ph] if use_prev else None,
+                                 rec=rec1)
         chain = _qr_sweep_lr(chain, start=0)
         chain = _svd_sweep_rl(chain, threshold, chi_max,
                               prev=hist2[ph] if use_prev else None, rec=rec2)
