@@ -85,19 +85,36 @@ def _svd_pinned(M):
     return U * ph[None, :], S, Vh / ph[:, None]
 
 
-def _svd_sweep_rl(chain, thr, chi_max, prev=None, rec=None):
+def _keep_rank(S, thr, chi_max, lock, i):
+    """Truncation rank: threshold rule, or the locked per-bond rank.
+
+    Rank locking (lock = {site: rank}) freezes the cut once the window is
+    steady: singular values sitting exactly AT the relative threshold
+    otherwise flicker in/out between iterations, and every flip reshuffles
+    the downstream bases enough to corrupt the bulk-cycle junction
+    (measured at n_mem=32: top-weight lag drift pinned at ~2e-2, observable
+    error 0.15 — locking is what makes the aligned iteration a smooth map
+    with a convergent cycle).  The locked value freezes the flickering
+    direction at weight ~threshold, below the observable gates."""
+    if lock is not None and i in lock:
+        return max(1, min(lock[i], len(S)))
+    keep = int(np.sum(S > S[0] * thr)) if S[0] > 0 else 1
+    return max(1, min(chi_max, keep))
+
+
+def _svd_sweep_rl(chain, thr, chi_max, prev=None, rec=None, lock=None):
     """Right-to-left zip-up truncation (SVD gauge pinned).
 
     prev/rec: optional per-bond dicts of kept right-bases for gauge
     alignment across iterations — when ``prev[i]`` has the same shape as the
     fresh basis, the fresh basis is rotated inside its own span by the
     unitary polar factor of ``prev V^H`` so it varies continuously between
-    iterations (rotations within the kept subspace are pure gauge)."""
+    iterations (rotations within the kept subspace are pure gauge).
+    lock: optional per-bond rank locks (see _keep_rank)."""
     for i in range(len(chain) - 1, 0, -1):
         a, g, b = chain[i].shape
         U, S, Vh = _svd_pinned(chain[i].reshape(a, g * b))
-        keep = int(np.sum(S > S[0] * thr)) if S[0] > 0 else 1
-        keep = max(1, min(chi_max, keep))
+        keep = _keep_rank(S, thr, chi_max, lock, i)
         V = Vh[:keep]
         C = U[:, :keep] * S[:keep]
         if prev is not None and i in prev and prev[i].shape == V.shape:
@@ -114,7 +131,7 @@ def _svd_sweep_rl(chain, thr, chi_max, prev=None, rec=None):
 
 
 def _zip_layer_sweep(chain, b0, bD, d_of_g, w_eff, thr, chi_max,
-                     prev=None, rec=None):
+                     prev=None, rec=None, lock=None):
     """Fused ptmpo._apply_layer + right-to-left zip-up truncation.
 
     Mathematically identical to
@@ -138,8 +155,7 @@ def _zip_layer_sweep(chain, b0, bD, d_of_g, w_eff, thr, chi_max,
     for j in range(W, start, -1):
         a, g, b = cur.shape
         U, S, Vh = _svd_pinned(cur.reshape(a, g * b))
-        keep = int(np.sum(S > S[0] * thr)) if S[0] > 0 else 1
-        keep = max(1, min(chi_max, keep))
+        keep = _keep_rank(S, thr, chi_max, lock, j)
         V = Vh[:keep]
         C = U[:, :keep] * S[:keep]
         if prev is not None and j in prev and prev[j].shape == V.shape:
@@ -167,8 +183,7 @@ def _zip_layer_sweep(chain, b0, bD, d_of_g, w_eff, thr, chi_max,
     for i in range(start, 0, -1):
         a, g, b = out[i].shape
         U, S, Vh = _svd_pinned(out[i].reshape(a, g * b))
-        keep = int(np.sum(S > S[0] * thr)) if S[0] > 0 else 1
-        keep = max(1, min(chi_max, keep))
+        keep = _keep_rank(S, thr, chi_max, lock, i)
         V = Vh[:keep]
         C = U[:, :keep] * S[:keep]
         if prev is not None and i in prev and prev[i].shape == V.shape:
@@ -273,31 +288,39 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
     by the QUAPI coefficients eta (len n_mem) and coupling groups (nu, mu).
 
     Phases:
-      detect — adaptive build; watch the gauge-invariant emission singular
-        spectrum for lag-P convergence (P = 1..max_period, smallest wins;
-        drift < steady_tol for steady_runs consecutive emissions).
-        steady_tol defaults to 30*threshold (the spectrum's noise floor is
-        the truncation-rank wobble at the cut).
+      detect — adaptive build; watch the gauge-invariant WINDOW SCHMIDT
+        spectrum (weights at the emission bond, from right-canonicalizing
+        the window) for lag-P convergence (P = 1..max_period, smallest
+        wins; drift < steady_tol for steady_runs consecutive emissions).
+        The Schmidt weights are the physical signal: the unweighted
+        emission-frame spectrum can stay chaotic forever at larger windows
+        (measured at n_mem=32: an ~8-mode cluster with unweighted singular
+        values 0.3-0.4 but Schmidt weights ~1e-6 rearranges every
+        iteration while the Schmidt spectrum converges at lag 1 to ~1e-7).
       align — keep building with per-bond gauge alignment to the bases used
-        P iterations earlier; the emissions now converge ELEMENTWISE at
-        lag P.  Stop when the relative drift falls below 0.01*threshold
-        (floor 1e-10) or after align_budget emissions; the final drift is
-        recorded as build_residual.  The ELEMENTWISE period can be a
-        multiple of the spectral one (measured: ae=5 nm QD bath has spectrum
-        period 4 but elementwise period 8 — a period-doubled gauge
-        two-cycle, lag-4 drift pinned at 1.06e-3 while lag-8 converges to
-        ~1e-7); when the lag-P drift stalls, the period is doubled (hist
-        re-keyed) up to 8x the spectral period.
+        P iterations earlier and watch the WEIGHTED emission drift
+        ||(Q_m - Q_{m-P}) L|| / ||Q_m L||, with L the window's Schmidt
+        left-factor (the right-environment weighting that propagation
+        errors actually see: emissions are orthonormal frames, so the
+        state's weight at every emitted bond is carried by the window).
+        Stop when it falls below 0.01*threshold (floor 1e-10) or stalls at
+        the noise floor; the final value is recorded as build_residual.
+        The weighted attractor period can be a multiple of the spectral
+        one (measured: ae=5 nm QD bath has a period-doubled gauge
+        two-cycle); when the lag-P drift stalls above the floor, the
+        period is doubled (hist re-keyed) up to 8x the spectral period.
     The last P emissions are the bulk cycle; everything before is the init
     segment.  Raises RuntimeError if no period converges within the budget
     (e.g. for the 'last'-cell tail-absorbed kernel — see module docstring).
     """
     n_mem = len(eta)
     if steady_tol is None:
-        # the gauge-invariant spectrum's noise floor is the larger of the
-        # truncation-rank wobble at the cut (~30x threshold) and plain f64
-        # SVD noise on the zip-up (~1e-8 measured, threshold-independent)
-        steady_tol = max(30 * threshold, 1e-7)
+        # the Schmidt spectrum's noise floor is the larger of the
+        # truncation wobble at the cut (~100x threshold) and the FP-level
+        # wobble the chaotic weightless subspace leaks into the weighted
+        # drift even with locked ranks (measured ~1.5e-6 at n_mem=32,
+        # thr=1e-8; doubling the period buys nothing below this floor)
+        steady_tol = max(100 * threshold, 3e-6)
     elem_tol = max(0.01 * threshold, 1e-10)
     b0, bD, d_of_g = influence_factors(eta, nu, mu)
     mags = np.abs(eta)
@@ -312,6 +335,8 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
     steady = {P: 0 for P in range(1, max_period + 1)}
     align_from = None
     hist1 = hist2 = None     # per-phase recorded bases for the two sweeps
+    lock1 = lock2 = None     # per-phase locked truncation ranks
+    recent = []              # ring of the last max_period (rec1, rec2)
     drift = float("inf")
     aligned_done = 0
     since_check = 0
@@ -321,16 +346,18 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
     it = 0
     while it < max_iter:
         m = len(emitted)
-        use_prev = align_from is not None and m >= align_from + (period or 0)
+        use_prev = period is not None
         ph = m % period if period else 0
         rec1, rec2 = {}, {}
         chain = _zip_layer_sweep(chain, b0, bD, d_of_g, w_eff,
                                  threshold * 0.1, chi_max,
                                  prev=hist1[ph] if use_prev else None,
-                                 rec=rec1)
+                                 rec=rec1,
+                                 lock=lock1[ph] if use_prev else None)
         chain = _qr_sweep_lr(chain, start=0)
         chain = _svd_sweep_rl(chain, threshold, chi_max,
-                              prev=hist2[ph] if use_prev else None, rec=rec2)
+                              prev=hist2[ph] if use_prev else None, rec=rec2,
+                              lock=lock2[ph] if use_prev else None)
         chain = _qr_sweep_lr(chain, start=0)
         it += 1
         if len(chain) <= w_eff:
@@ -345,19 +372,29 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
         emitted.append(Q)
         if period is not None:
             hist1[ph], hist2[ph] = rec1, rec2
-        sv = np.linalg.svd(Q.reshape(Q.shape[0], -1), compute_uv=False)
-        nrm = np.linalg.norm(sv)
-        spectra.append(sv / (nrm if nrm > 0 else 1.0))
+        else:
+            recent.append((rec1, rec2))
+            if len(recent) > max_period:
+                recent.pop(0)
+        # window Schmidt weights at the emission bond: the physical,
+        # gauge-invariant stationarity signal (and the error weighting for
+        # the aligned drift below)
+        L_win, _ = _right_canonicalize(chain)
+        sv = np.linalg.svd(L_win, compute_uv=False)
+        spectra.append(sv / (sv[0] if sv[0] > 0 else 1.0))
         m = len(emitted)
         if period is None:
-            # detect the attractor period on gauge-invariant data
+            # detect the attractor period on the Schmidt spectrum
             for P in range(1, max_period + 1):
                 if m <= P:
                     continue
                 a, b = spectra[-1], spectra[-1 - P]
                 k = min(len(a), len(b))
                 d = float(np.max(np.abs(a[:k] - b[:k])))
-                if len(a) == len(b) and d <= steady_tol:
+                tail = max(len(a), len(b)) - k
+                if d <= steady_tol and (tail == 0
+                                        or b[k:].max(initial=0) <= steady_tol
+                                        or a[k:].max(initial=0) <= steady_tol):
                     steady[P] += 1
                 else:
                     steady[P] = 0
@@ -365,8 +402,19 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
                     period = P
                     spec_period = P
                     align_from = m
+                    # seed the alignment targets AND the rank locks from
+                    # the last P emissions: locking freezes threshold-edge
+                    # flicker, making the aligned iteration a smooth map
                     hist1 = [None] * P
                     hist2 = [None] * P
+                    lock1 = [None] * P
+                    lock2 = [None] * P
+                    for j in range(min(P, len(recent))):
+                        r1, r2 = recent[-1 - j]
+                        phj = (m - 1 - j) % P
+                        hist1[phj], hist2[phj] = r1, r2
+                        lock1[phj] = {i: v.shape[0] for i, v in r1.items()}
+                        lock2[phj] = {i: v.shape[0] for i, v in r2.items()}
                     if verbose:
                         print(f"[ptinf] period {P} detected at emission {m} "
                               f"(iter {it}); aligning")
@@ -377,10 +425,23 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
             if aligned_done <= 2 * period:
                 continue                     # alignment needs a warm-up cycle
             a, b = emitted[-1], emitted[-1 - period]
-            if a.shape != b.shape:
-                drift = float("inf")
-            else:
-                drift = float(np.linalg.norm(a - b) / np.linalg.norm(a))
+            # weighted drift: right bonds contracted through the window
+            # Schmidt factor (errors in near-weightless directions do not
+            # propagate into observables).  Rank flicker between lag-P
+            # emissions lives in those weightless directions (measured:
+            # n_mem=32 rank wobbles 26..28 forever at Schmidt weight
+            # ~1e-6), so differing shapes are zero-padded, with zero
+            # weight rows for directions absent from the current window.
+            ca = max(a.shape[0], b.shape[0])
+            cb = max(a.shape[2], b.shape[2])
+            ap = _pad_ab(a, ca, cb)
+            bp = _pad_ab(b, ca, cb)
+            Lp = np.zeros((cb, L_win.shape[1]), dtype=complex)
+            Lp[:L_win.shape[0]] = L_win
+            dL = np.einsum('agb,br->agr', ap - bp, Lp)
+            aL = np.einsum('agb,br->agr', ap, Lp)
+            na = np.linalg.norm(aL)
+            drift = float(np.linalg.norm(dL) / (na if na > 0 else 1.0))
             if (drift <= elem_tol
                     or (aligned_done >= align_budget
                         and drift <= steady_tol)):
@@ -399,6 +460,8 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
                     period *= 2
                     hist1 = [hist1[p % old] for p in range(period)]
                     hist2 = [hist2[p % old] for p in range(period)]
+                    lock1 = [lock1[p % old] for p in range(period)]
+                    lock2 = [lock2[p % old] for p in range(period)]
                     align_budget += 4 * period
                     max_iter += 4 * period
                     stall_ref = None
@@ -416,10 +479,12 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
             f"finite-horizon builder (note: the 'last'-cell tail-absorbed "
             f"kernel is always in this class; the stationary engine requires "
             f"the sharp t_mem cut or the 'onsite' absorption)")
-    # shape guard: the cycle must chain with itself
+    # shape guard: adjacent cycle emissions chain by construction; the wrap
+    # junction (last -> first repetition) may differ by weightless rank
+    # flicker and is closed by the global chi padding below
     cycle = emitted[-period:]
-    for j in range(period):
-        if cycle[j].shape[2] != cycle[(j + 1) % period].shape[0]:
+    for j in range(period - 1):
+        if cycle[j].shape[2] != cycle[j + 1].shape[0]:
             raise RuntimeError("stationary PT cycle bonds do not chain "
                                f"({[c.shape for c in cycle]})")
     P = period
@@ -493,6 +558,13 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
 def _pad_to(T, chi):
     a, g, b = T.shape
     out = np.zeros((chi, g, chi), dtype=complex)
+    out[:a, :, :b] = T
+    return out
+
+
+def _pad_ab(T, ca, cb):
+    a, g, b = T.shape
+    out = np.zeros((ca, g, cb), dtype=complex)
     out[:a, :, :b] = T
     return out
 
