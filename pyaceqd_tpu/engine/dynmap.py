@@ -61,13 +61,17 @@ def matrix_power_traced(M, n):
 
 
 @hostsafe
-def calc_tl_dynmap(dm, rcond=1e-12):
+def calc_tl_dynmap(dm):
     """Time-local maps from accumulated maps, batched on device.
 
     dm[i] = E(t_{i+1}, t_0);  out[i] = E(t_{i+1}, t_i) = dm[i] @ pinv(dm[i-1]).
     Device version of tools.calc_tl_dynmap_pseudo (reference tools.py:446-484):
-    one batched SVD-pinv + one batched matmul instead of a Python loop."""
-    inv_prev = jnp.linalg.pinv(dm[:-1], rcond=rcond)
+    one batched SVD-pinv + one batched matmul instead of a Python loop.
+    The pinv cutoff is matched to the precision the maps carry (f64: 1e-12,
+    the reference's value; f32: 3e-6 — see tools.default_pinv_rcond for the
+    measured failure mode of a too-tight cut on rank-deficient MTO maps)."""
+    from pyaceqd_tpu.tools import default_pinv_rcond
+    inv_prev = jnp.linalg.pinv(dm[:-1], rcond=default_pinv_rcond())
     rest = jnp.einsum('nij,njk->nik', dm[1:], inv_prev)
     return jnp.concatenate([dm[:1], rest], axis=0)
 

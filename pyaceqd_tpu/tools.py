@@ -338,18 +338,35 @@ def rotate_basis(rho, U_rot):
 # scan/vmap/Pallas fast paths.
 # ---------------------------------------------------------------------------
 
-def calc_tl_dynmap_pseudo(dm, times, debug=False):
+def default_pinv_rcond():
+    """pinv cutoff matched to the precision the maps were computed at.
+
+    The reference uses rcond=1e-12 (f64 ACE maps, reference tools.py:446-484).
+    Device maps computed at single precision carry ~1e-7 relative noise; a
+    1e-12 cut KEEPS those noise directions, and after a rank-deficient MTO
+    insertion (e.g. the G2 sandwich sigma.rho.sigma^dag, a rank-1 superop)
+    the pinv amplifies them by ~1e5 (measured: purity G2 tl blocks hit 2e5,
+    corrupting the G2 integrals by the same factor).  3e-6 cuts safely above
+    the f32 noise floor."""
+    from pyaceqd_tpu import config
+    return 1e-12 if config.precision() == "double" else 3e-6
+
+
+def calc_tl_dynmap_pseudo(dm, times, debug=False, rcond=None):
     """Time-local maps E(t_{i+1}, t_i) from accumulated maps E(t_{i+1}, t_0).
 
-    E(t_{i+1},t_i) = E(t_{i+1},t_0) @ pinv(E(t_i,t_0), rcond=1e-12).
-    (reference semantics: pyaceqd/tools.py:446-484)
+    E(t_{i+1},t_i) = E(t_{i+1},t_0) @ pinv(E(t_i,t_0), rcond) with rcond
+    matched to the map precision (see default_pinv_rcond; reference
+    semantics: pyaceqd/tools.py:446-484 at fixed 1e-12).
     """
+    if rcond is None:
+        rcond = default_pinv_rcond()
     times = np.round(times, 4)
     n = dm.shape[1]
     _dm_tl = np.zeros((len(times) - 1, n, n), dtype=complex)
     _dm_tl[0] = dm[0]
     for i in range(1, len(_dm_tl)):
-        _dm_tl[i] = dm[i] @ np.linalg.pinv(dm[i - 1], rcond=1e-12)
+        _dm_tl[i] = dm[i] @ np.linalg.pinv(dm[i - 1], rcond=rcond)
     return _dm_tl
 
 
