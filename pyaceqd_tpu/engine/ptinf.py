@@ -385,16 +385,29 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
         m = len(emitted)
         if period is None:
             # detect the attractor period on the Schmidt spectrum
-            for P in range(1, max_period + 1):
-                if m <= P:
-                    continue
-                a, b = spectra[-1], spectra[-1 - P]
+            def _sdrift(lag):
+                a, b = spectra[-1], spectra[-1 - lag]
                 k = min(len(a), len(b))
                 d = float(np.max(np.abs(a[:k] - b[:k])))
-                tail = max(len(a), len(b)) - k
-                if d <= steady_tol and (tail == 0
-                                        or b[k:].max(initial=0) <= steady_tol
-                                        or a[k:].max(initial=0) <= steady_tol):
+                tail_a = a[k:].max(initial=0)
+                tail_b = b[k:].max(initial=0)
+                return d, min(tail_a, tail_b)
+            for P in range(1, max_period + 1):
+                # slow-transient guard: a long-memory bath's window drifts
+                # SLOWLY after the window fills (measured at n_mem=102: lag-1
+                # drift passes tol at emission ~10 while the state is still
+                # mid-transient — locking there froze chi at 13 and the
+                # observables were off by 0.1).  A true attractor is also
+                # flat over a LONG lag; require the lag-8P spectrum drift
+                # within 3x tol before accepting lag-P steadiness.
+                long_lag = 8 * P
+                if m <= long_lag:
+                    continue
+                d, tail = _sdrift(P)
+                d_long, tail_long = _sdrift(long_lag)
+                if (d <= steady_tol and tail <= steady_tol
+                        and d_long <= 3 * steady_tol
+                        and tail_long <= 3 * steady_tol):
                     steady[P] += 1
                 else:
                     steady[P] = 0
@@ -548,6 +561,12 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
     caps = caps / z
     cap_bulk = cap_bulk / z
 
+    if chi >= chi_max:
+        import warnings
+        warnings.warn(
+            f"stationary PT build saturated chi_max={chi_max}: bond "
+            f"truncation, not the SVD threshold, now limits accuracy "
+            f"(see docs/accuracy.md).  Raise chi_max.")
     return StationaryPT(init_stack=init_stack, init_caps=caps[:K],
                         bulk=bulk, cap_bulk=cap_bulk,
                         g_of_s=np.asarray(g_of_s, dtype=np.int32),

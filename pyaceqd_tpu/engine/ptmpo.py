@@ -212,6 +212,14 @@ def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
     chain = _qr_sweep_lr(chain, start=0)
     emitted.extend(chain)
     assert len(emitted) == n_steps
+    if any(max(Q.shape[0], Q.shape[2]) >= chi_max for Q in emitted):
+        import warnings
+        warnings.warn(
+            f"PT build saturated chi_max={chi_max}: bond truncation, not the "
+            f"SVD threshold, now limits accuracy (measured on the weight-2 "
+            f"biexciton/darkmodel coherence sector: 5.8e-2 error at chi_max="
+            f"64 vs 9.8e-3 at 128 — see docs/accuracy.md).  Raise chi_max "
+            f"for quantitative multi-level phonon coherences.")
     return emitted
 
 
