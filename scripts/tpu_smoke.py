@@ -173,8 +173,8 @@ def main():
                                   "|1><3|_4", "|3><1|_4", p1, p2, dt=0.2,
                                   dim=4, tb=tb_len, gaussian_t=10,
                                   options=opts)
-        t1, g2, ee = tpb.rho_ee_ee()
-        _, _, ll = tpb.rho_ll_ll()
+        _, _, _, ee, *_ = tpb.rho_ee_ee()
+        _, _, _, ll, *_ = tpb.rho_ll_ll()
         assert ee > 0 and ll > 0 and np.isfinite(ee) and np.isfinite(ll)
         assert np.isclose(ee, ll, rtol=0.25)   # symmetric protocol
     check("two-photon timebin with phonons", t_timebin_phonons)
