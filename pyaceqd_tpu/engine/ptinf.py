@@ -372,6 +372,7 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
     aligned_done = 0
     since_check = 0
     stall_ref = None
+    prev_stall = None
     spec_period = None
     max_iter = max(max_iter_factor * w_eff, w_eff + 60) + align_budget
     it = 0
@@ -499,8 +500,13 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
                                and drift > 100 * elem_tol))
                 if stalled and drift <= steady_tol:
                     break                    # stalled at the noise floor: done
+                if (stalled and prev_stall is not None
+                        and drift > 0.5 * prev_stall and drift <= 1e-4):
+                    break    # doubling didn't move the floor: accept (the
+                    #          post-loop ladder warns about the residual)
                 if stalled and period < min(8 * spec_period, 32):
                     old = period
+                    prev_stall = drift
                     period *= 2
                     hist1 = [hist1[p % old] for p in range(period)]
                     hist2 = [hist2[p % old] for p in range(period)]
@@ -515,7 +521,19 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
                 else:
                     stall_ref = drift
                 since_check = 0
-    if period is None or not np.isfinite(drift) or drift > steady_tol:
+    # acceptance ladder: clean convergence at steady_tol; a stall in
+    # (steady_tol, 1e-4] is accepted with a warning — the cycle-junction
+    # observable error tracks ~10x the residual (measured: force-accepted
+    # resid 2.4e-2 -> error 0.145), so 1e-4 keeps it at ~1e-3, below the
+    # documented bond-truncation level of the baths that stall here
+    if period is not None and np.isfinite(drift) and steady_tol < drift <= 1e-4:
+        import warnings
+        warnings.warn(
+            f"stationary PT cycle accepted at stalled residual {drift:.1e} "
+            f"(period {period}); cycle-junction error ~10x that — fine for "
+            f"this bath's documented accuracy envelope, but raise threshold "
+            f"or use use_infinite=False for tighter work")
+    elif period is None or not np.isfinite(drift) or drift > steady_tol:
         raise RuntimeError(
             f"stationary PT build did not converge in {max_iter} iterations "
             f"(period={period}, drift={drift:.2e}); the bath kernel has no "
