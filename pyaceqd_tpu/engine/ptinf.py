@@ -421,9 +421,13 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
                 a, b = spectra[-1], spectra[-1 - lag]
                 k = min(len(a), len(b))
                 d = float(np.max(np.abs(a[:k] - b[:k])))
+                # rank growth = weight appearing beyond the shared rank.  Use
+                # the MAX of the two tails: a new mode above steady_tol in
+                # either spectrum is drift (min() was blind to rank growth —
+                # the shorter spectrum's tail is 0, masking the new mode)
                 tail_a = a[k:].max(initial=0)
                 tail_b = b[k:].max(initial=0)
-                return d, min(tail_a, tail_b)
+                return d, max(tail_a, tail_b)
             for P in range(1, max_period + 1):
                 # slow-transient guard: a long-memory bath's window drifts
                 # SLOWLY after the window fills (measured at n_mem=102: lag-1

@@ -425,7 +425,10 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
 
     if os.path.exists(path):
         z = np.load(path, allow_pickle=False)
-        fp_ok = "fingerprint" not in z.files or str(z["fingerprint"]) == fp
+        # fingerprint-less caches predate the absorb_tail="last" default and
+        # may have been built under sharp-cut semantics — reject them so old
+        # artifacts never mix with the new kernel (ADVICE r2)
+        fp_ok = "fingerprint" in z.files and str(z["fingerprint"]) == fp
         if (fp_ok and z["g_of_s"].shape == g_of_s.shape
                 and np.all(z["g_of_s"] == g_of_s)
                 and z["stack"].shape[0] >= n_steps):

@@ -151,10 +151,33 @@ def eta_coefficients(J, dt, n_mem, temperature, e_max_mev=7.0,
     wt[0] = wt[-1] = dw / 2
     bw = base * wt
     cw = cth * bw
-    for lo in range(1, n_tot, 256):
-        hi = min(n_tot, lo + 256)
-        ph = np.outer(np.arange(lo, hi), w * dt)
-        eta[lo:hi] = np.cos(ph) @ cw - 1j * (np.sin(ph) @ bw)
+
+    def _fill(lo_all, hi_all):
+        for lo in range(lo_all, hi_all, 256):
+            hi = min(hi_all, lo + 256)
+            ph = np.outer(np.arange(lo, hi), w * dt)
+            eta[lo:hi] = np.cos(ph) @ cw - 1j * (np.sin(ph) @ bw)
+
+    _fill(1, n_tot)
+    if absorb_tail:
+        # the fixed ~10 ps horizon covers the QD superohmic kernel, but a
+        # TabulatedJ / long-memory bath may decay slower — grow the horizon
+        # until the last absorbed coefficient is negligible vs the on-site
+        # term (ADVICE r2), capped at 16x to bound the cost
+        eta_cut = 1e-12 * max(abs(eta[0]), 1e-300)
+        n_cap = n_mem + 16 * n_tail
+        while abs(eta[n_tot - 1]) > eta_cut and n_tot < n_cap:
+            new_tot = min(2 * n_tot, n_cap)
+            eta = np.concatenate([eta, np.empty(new_tot - n_tot, complex)])
+            _fill(n_tot, new_tot)
+            n_tot = new_tot
+        if abs(eta[n_tot - 1]) > 1e3 * eta_cut:
+            import warnings
+            warnings.warn(
+                f"eta tail absorption truncated at {n_tot} steps with the "
+                f"last coefficient still |eta|={abs(eta[n_tot - 1]):.2e} "
+                f"(cut {eta_cut:.2e}); the absorbed dephasing rate is "
+                f"partially corrected — check the bath kernel's decay")
     if absorb_tail == "onsite":
         eta[0] += np.sum(eta[n_mem:])
     elif absorb_tail:

@@ -199,10 +199,12 @@ class SmoothRectangle(Pulse):
         return lambda t: self.get_envelope(t)
 
     def get_envelope(self, t):
-        return self.e0 / (
-            (1 + np.exp(-self.alpha * (t + self.tau / 2 - self.t0)))
-            * (1 + np.exp(-self.alpha * (-t + self.tau / 2 + self.t0)))
-        )
+        # expit is the overflow-safe sigmoid: 1/((1+e^-a)(1+e^-b)) would
+        # overflow in exp for t far outside the rectangle (benign but noisy)
+        from scipy.special import expit
+        return (self.e0
+                * expit(self.alpha * (t + self.tau / 2 - self.t0))
+                * expit(self.alpha * (-t + self.tau / 2 + self.t0)))
 
     def copy(self):
         return SmoothRectangle(self.tau, self.e_start, self.w_gain, self.t0, self.e0, self.phase, self.alpha_onoff, self.polar_x)
