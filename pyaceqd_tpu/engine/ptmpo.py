@@ -50,6 +50,7 @@ import numpy as np
 from pyaceqd_tpu import config, constants
 from pyaceqd_tpu.engine import spectral
 from pyaceqd_tpu.ops import superop
+from pyaceqd_tpu.utils import diagnostics
 from pyaceqd_tpu.utils.cplx import hostsafe
 
 hbar = constants.hbar
@@ -212,14 +213,6 @@ def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
     chain = _qr_sweep_lr(chain, start=0)
     emitted.extend(chain)
     assert len(emitted) == n_steps
-    if any(max(Q.shape[0], Q.shape[2]) >= chi_max for Q in emitted):
-        import warnings
-        warnings.warn(
-            f"PT build saturated chi_max={chi_max}: bond truncation, not the "
-            f"SVD threshold, now limits accuracy (measured on the weight-2 "
-            f"biexciton/darkmodel coherence sector: 5.8e-2 error at chi_max="
-            f"64 vs 9.8e-3 at 128 — see docs/accuracy.md).  Raise chi_max "
-            f"for quantitative multi-level phonon coherences.")
     return emitted
 
 
@@ -279,6 +272,16 @@ def assemble_process_tensor(eta, g_of_s, nu, mu, counter_term, n_steps,
     # environment-trace closure (see module docstring)
     g_diag = int(np.where(np.isclose(nu, mu))[0][0])
     chi = max(max(T.shape[0], T.shape[2]) for T in tensors)
+    if chi >= chi_max:
+        # emitted here (not in the per-backend builders) so the native
+        # C++/LAPACK path warns identically to the numpy path
+        import warnings
+        warnings.warn(
+            f"PT build saturated chi_max={chi_max}: bond truncation, not the "
+            f"SVD threshold, now limits accuracy (measured on the weight-2 "
+            f"biexciton/darkmodel coherence sector: 5.8e-2 error at chi_max="
+            f"64 vs 9.8e-3 at 128 — see docs/accuracy.md).  Raise chi_max "
+            f"for quantitative multi-level phonon coherences.")
     stack = np.stack([_pad(T, chi) for T in tensors])
     n = len(tensors)
     # Balanced backward recursion.  The raw closure products grow/shrink
@@ -352,16 +355,35 @@ def rebalance(pt: ProcessTensor) -> ProcessTensor:
                          n_mem=pt.n_mem)
 
 
+def default_chi_max(boson_op):
+    """Weight-aware bond-dimension cap.
+
+    ACE has no chi cap — ``threshold`` alone governs the bond dimension
+    (reference general_system.py:161-174), and at threshold 1e-8 a weight-2
+    coupling (biexciton/darkmodel diag(0,1,1,2)) grows to chi~127.  A hard
+    cap of 64 BINDS there: measured worst-case coherence error 5.8e-2 at
+    chi_max=64 vs 9.8e-3 at 128 (docs/accuracy.md).  Default the cap by the
+    coupling-weight span so weight-2 models get the capacity ACE would use,
+    while TLS-class baths keep the cheaper 64."""
+    Bdiag = np.real(np.diag(np.asarray(boson_op)))
+    span = float(Bdiag.max() - Bdiag.min()) if Bdiag.size else 0.0
+    return 128 if span >= 2.0 - 1e-9 else 64
+
+
 def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
                        threshold="10", use_infinite=False, J_file=None,
                        factor_ah=None, boson_e_max=7, system_prefix="",
                        pt_file=None, temp_dir=None, J_to_file=None,
-                       verbose=False, chi_max=64, subtract_polaron_shift=True):
+                       verbose=False, chi_max=None, subtract_polaron_shift=True):
     """Load or build the process tensor for the given bath parameters and
     propagation horizon.  A cached chain built for a longer horizon serves
-    shorter runs via its prefix; a longer request triggers a rebuild."""
+    shorter runs via its prefix; a longer request triggers a rebuild.
+
+    chi_max=None selects the weight-aware default (see default_chi_max)."""
     if boson_op is None:
         raise ValueError("phonons=True requires a boson coupling operator")
+    if chi_max is None:
+        chi_max = default_chi_max(boson_op)
     thr = 10.0 ** (-float(threshold))
     if J_file is not None:
         J = spectral.TabulatedJ(J_file)
@@ -415,9 +437,16 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
         ).hexdigest()
         inf_path = path.replace("_ptmpo_v2.npz", "_ptinf_v3.npz")
         try:
-            return ptinf.load_or_build(inf_path, eta_inf, g_of_s, nu, mu,
-                                       counter, thr, chi_max, fp_inf,
-                                       verbose=verbose)
+            was_cached = os.path.exists(inf_path)
+            spt = ptinf.load_or_build(inf_path, eta_inf, g_of_s, nu, mu,
+                                      counter, thr, chi_max, fp_inf,
+                                      verbose=verbose)
+            diagnostics.record_pt(
+                engine="stationary", chi=spt.chi, chi_max=chi_max,
+                saturated=spt.chi >= chi_max, period=spt.period,
+                build_residual=spt.build_residual, n_mem=spt.n_mem,
+                cached=was_cached, path=inf_path)
+            return spt
         except RuntimeError as e:
             import warnings
             warnings.warn("stationary PT build failed ({}); falling back to "
@@ -437,12 +466,19 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
             pt = ProcessTensor(stack=z["stack"], caps=z["caps"],
                                g_of_s=z["g_of_s"], counter_term=z["counter"],
                                chi=int(z["chi"]), n_mem=int(z["n_mem"]))
+            diagnostics.record_pt(
+                engine="finite", chi=pt.chi, chi_max=chi_max,
+                saturated=pt.chi >= chi_max, n_mem=pt.n_mem,
+                cached=True, path=path)
             return rebalance(pt).prefix(n_steps)
 
     if verbose:
         print("{} not found (or too short). Calculating...".format(path))
     pt = assemble_process_tensor(eta, g_of_s, nu, mu, counter, n_steps,
                                  threshold=thr, chi_max=chi_max, verbose=verbose)
+    diagnostics.record_pt(
+        engine="finite", chi=pt.chi, chi_max=chi_max,
+        saturated=pt.chi >= chi_max, n_mem=pt.n_mem, cached=False, path=path)
     try:
         np.savez(path, stack=pt.stack, caps=pt.caps, g_of_s=pt.g_of_s,
                  counter=pt.counter_term, chi=pt.chi, n_mem=pt.n_mem,

@@ -28,8 +28,11 @@ CACHE = os.path.join(GOLD, ".ptcache")
 
 
 def _opts_phonon(**kw):
+    # chi_max pinned: the goldens were generated at 64, before chi_max
+    # gained its weight-aware default (128 for weight-2 couplings).  Pinning
+    # keeps the committed artifacts valid under default changes.
     base = {"lindblad": True, "phonons": True, "ae": 3.0, "temperature": 4,
-            "threshold": 8, "temp_dir": CACHE}
+            "threshold": 8, "temp_dir": CACHE, "chi_max": 64}
     base.update(kw)
     return base
 
