@@ -19,6 +19,8 @@
 #include <complex>
 #include <cstring>
 #include <vector>
+#include <deque>
+#include <utility>
 #include <algorithm>
 #include <cmath>
 #include <cstdio>
@@ -40,11 +42,15 @@ typedef void (*zunglq_t)(const int*, const int*, const int*, cplx*, const int*,
 typedef void (*zgesdd_t)(const char*, const int*, const int*, cplx*,
                          const int*, double*, cplx*, const int*, cplx*,
                          const int*, cplx*, const int*, double*, int*, int*);
+typedef void (*zgesvd_t)(const char*, const char*, const int*, const int*,
+                         cplx*, const int*, double*, cplx*, const int*, cplx*,
+                         const int*, cplx*, const int*, double*, int*);
 
 static zgemm_t zgemm_ = nullptr;
 static zgelqf_t zgelqf_ = nullptr;
 static zunglq_t zunglq_ = nullptr;
 static zgesdd_t zgesdd_ = nullptr;
+static zgesvd_t zgesvd_ = nullptr;  // robust fallback driver (optional)
 
 static void* resolve(void* h1, void* h2, const char* base) {
   char pre[64];
@@ -66,6 +72,7 @@ extern "C" int pt_init(const char* blas_path) {
   zgelqf_ = (zgelqf_t)resolve(h1, h2, "zgelqf_");
   zunglq_ = (zunglq_t)resolve(h1, h2, "zunglq_");
   zgesdd_ = (zgesdd_t)resolve(h1, h2, "zgesdd_");
+  zgesvd_ = (zgesvd_t)resolve(h1, h2, "zgesvd_");
   return (zgemm_ && zgelqf_ && zunglq_ && zgesdd_) ? (h1 ? 1 : 2) : -1;
 }
 
@@ -138,8 +145,10 @@ void qr_rowmajor(std::vector<cplx>& M, int m, int n,
 // SVD of row-major M (m,n): returns U (m,k) row-major, S (k), Vh (k,n)
 // row-major, k = min(m,n).  Uses the transpose duality:
 // svd(M^T) = U' S V'h  =>  U_M = V'h^T, Vh_M = U'^T.
-void svd_rowmajor(std::vector<cplx>& M, int m, int n, std::vector<cplx>& U,
-                  std::vector<double>& S, std::vector<cplx>& Vh) {
+// On zgesdd non-convergence falls back to the slower-but-robust zgesvd
+// (mirrors the Python builder's gesvd fallback).  Returns LAPACK info.
+int svd_rowmajor(std::vector<cplx>& M, int m, int n, std::vector<cplx>& U,
+                 std::vector<double>& S, std::vector<cplx>& Vh) {
   int k = std::min(m, n);
   int cm_m = n, cm_n = m, lda = n, info = 0, lwork = -1;
   S.resize(k);
@@ -149,6 +158,8 @@ void svd_rowmajor(std::vector<cplx>& M, int m, int n, std::vector<cplx>& U,
   std::vector<double> rwork(size_t(k) * std::max(5 * k + 7, 2 * std::max(m, n) + 2 * k + 1) + 32);
   std::vector<int> iwork(8 * size_t(k) + 8);
   cplx wq;
+  std::vector<cplx> Mcopy;
+  if (zgesvd_) Mcopy = M;              // gesdd clobbers M; keep a fallback copy
   zgesdd_("S", &cm_m, &cm_n, M.data(), &lda, S.data(), Up.data(), &ldu,
           Vp.data(), &ldvt, &wq, &lwork, rwork.data(), iwork.data(), &info);
   lwork = int(wq.real()) + 8;
@@ -156,7 +167,17 @@ void svd_rowmajor(std::vector<cplx>& M, int m, int n, std::vector<cplx>& U,
   zgesdd_("S", &cm_m, &cm_n, M.data(), &lda, S.data(), Up.data(), &ldu,
           Vp.data(), &ldvt, work.data(), &lwork, rwork.data(), iwork.data(),
           &info);
-  if (info != 0) std::fprintf(stderr, "ptmpo_native: zgesdd info=%d\n", info);
+  if (info != 0 && zgesvd_) {
+    M = Mcopy;
+    lwork = -1;
+    zgesvd_("S", "S", &cm_m, &cm_n, M.data(), &lda, S.data(), Up.data(), &ldu,
+            Vp.data(), &ldvt, &wq, &lwork, rwork.data(), &info);
+    lwork = int(wq.real()) + 8;
+    work.resize(lwork);
+    zgesvd_("S", "S", &cm_m, &cm_n, M.data(), &lda, S.data(), Up.data(), &ldu,
+            Vp.data(), &ldvt, work.data(), &lwork, rwork.data(), &info);
+  }
+  if (info != 0) std::fprintf(stderr, "ptmpo_native: svd info=%d\n", info);
   // U_M (m,k) row-major = V'h^T: U_M(i,c) = V'h(c,i) = Vp[c + k*i]
   U.resize(size_t(m) * k);
   for (int i = 0; i < m; ++i)
@@ -166,6 +187,7 @@ void svd_rowmajor(std::vector<cplx>& M, int m, int n, std::vector<cplx>& U,
   Vh.resize(size_t(k) * n);
   for (int c = 0; c < k; ++c)
     for (int j = 0; j < n; ++j) Vh[size_t(c) * n + j] = Up[size_t(c) * n + j];
+  return info;
 }
 
 // chain[i] (a,g,b) -> QR of (a*g, b); absorb R into chain[i+1]
@@ -350,6 +372,292 @@ Tensor emit(std::vector<Tensor>& chain) {
   return em;
 }
 
+// ---------------------------------------------------------------------------
+// Stationary (ptinf) builder support: the per-iteration numeric work of
+// pyaceqd_tpu/engine/ptinf.py::build_stationary_pt — fused zip-layer sweep,
+// QR re-canonicalization, aligned/locked SVD truncation sweep, emission, and
+// the window Schmidt factor — behind a persistent state handle.  All control
+// logic (period detection, drift acceptance, stall doubling, final cycle
+// assembly) stays in Python and is shared verbatim between backends.
+// ---------------------------------------------------------------------------
+
+// SVD with the gauge pinned like ptinf._svd_pinned: each Vh row is rotated so
+// its max-|.| element is real-positive (U columns co-rotated).
+int svd_pinned(std::vector<cplx>& M, int m, int n, std::vector<cplx>& U,
+               std::vector<double>& S, std::vector<cplx>& Vh) {
+  int info = svd_rowmajor(M, m, n, U, S, Vh);
+  int k = int(S.size());
+  for (int c = 0; c < k; ++c) {
+    double best = -1.0;
+    cplx piv(1.0, 0.0);
+    for (int j = 0; j < n; ++j) {
+      double a = std::abs(Vh[size_t(c) * n + j]);
+      if (a > best) { best = a; piv = Vh[size_t(c) * n + j]; }
+    }
+    cplx ph = (best > 0) ? piv / std::abs(piv) : cplx(1.0, 0.0);
+    cplx phc = std::conj(ph);
+    for (int j = 0; j < n; ++j) Vh[size_t(c) * n + j] *= phc;
+    for (int i = 0; i < m; ++i) U[size_t(i) * k + c] *= ph;
+  }
+  return info;
+}
+
+// C (m,p) = A (m,k) @ B^H, B row-major (p,k).  Col-major: C^T = conj(B) A^T.
+void matmul_nc(const cplx* A, const cplx* B, cplx* C, int m, int k, int p) {
+  const cplx one(1.0, 0.0), zero(0.0, 0.0);
+  zgemm_("C", "N", &p, &m, &k, &one, B, &k, A, &k, &zero, C, &p);
+}
+
+// Unitary polar factor of the square matrix M (k,k); false on SVD failure
+// (caller skips gauge alignment — an optimization, never correctness).
+bool polar_unitary(std::vector<cplx> M, int k, std::vector<cplx>& P) {
+  std::vector<cplx> U, Vh;
+  std::vector<double> S;
+  if (svd_rowmajor(M, k, k, U, S, Vh) != 0) return false;
+  P.assign(size_t(k) * k, cplx(0, 0));
+  matmul(U.data(), Vh.data(), P.data(), k, k, k);
+  return true;
+}
+
+struct RecMat {             // recorded kept right basis V (k, n) at a bond
+  int k = 0, n = 0;
+  std::vector<cplx> v;
+};
+using RecSet = std::vector<RecMat>;   // indexed by site index; k==0 => absent
+
+// One truncation step shared by both sweeps: SVD (pinned) of M (m,n),
+// threshold/lock rank rule (ptinf._keep_rank), gauge alignment to prev
+// (unitary polar factor of prev V^H), basis recording.  V out (keep,n),
+// C out (m,keep).  lock <= 0 means unlocked.  Matrices whose row count far
+// exceeds the possible kept rank take the deterministic randomized-SVD path
+// (exact small-SVD of the projected matrix; 2 power iterations) — at
+// chi_max=128 weight-2 baths the zip-up rows are chi*D ~ 5x the kept rank
+// and the full zgesdd dominates the whole build.
+void trunc_step(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
+                int lock, const RecMat* prev, RecMat* rec,
+                std::vector<cplx>& V, std::vector<cplx>& C, int& keep) {
+  std::vector<cplx> U, Vh;
+  std::vector<double> S;
+  int k_target = (lock > 0 ? lock + 16 : chi_max + 32);
+  if (m > 2 * k_target && n > k_target)
+    rsvd_rowmajor(M, m, n, k_target, U, S, Vh);
+  else
+    svd_pinned(M, m, n, U, S, Vh);
+  int k = int(S.size());
+  if (lock > 0) {
+    keep = std::max(1, std::min(lock, k));
+  } else {
+    keep = 1;
+    if (k > 0 && S[0] > 0) {
+      keep = 0;
+      for (int c = 0; c < k; ++c)
+        if (S[c] > S[0] * thr) ++keep;
+    }
+    keep = std::max(1, std::min(chi_max, keep));
+  }
+  V.assign(Vh.begin(), Vh.begin() + size_t(keep) * n);
+  C.resize(size_t(m) * keep);
+  for (int r = 0; r < m; ++r)
+    for (int c = 0; c < keep; ++c)
+      C[size_t(r) * keep + c] = U[size_t(r) * k + c] * S[c];
+  if (prev && prev->k == keep && prev->n == n) {
+    // O = prev @ V^H (keep,keep); rotate V inside its span: V <- P V,
+    // C <- C P^H (pure gauge, keeps the iteration a continuous map)
+    std::vector<cplx> O(size_t(keep) * keep), P;
+    matmul_nc(prev->v.data(), V.data(), O.data(), keep, n, keep);
+    if (polar_unitary(O, keep, P)) {
+      std::vector<cplx> Vn(size_t(keep) * n), Cn(size_t(m) * keep);
+      matmul(P.data(), V.data(), Vn.data(), keep, keep, n);
+      matmul_nc(C.data(), P.data(), Cn.data(), m, keep, keep);
+      V.swap(Vn);
+      C.swap(Cn);
+    }
+  }
+  if (rec) {
+    rec->k = keep;
+    rec->n = n;
+    rec->v = V;
+  }
+}
+
+struct PtinfState {
+  int G = 0, D = 0, n_bD = 0, w_eff = 0, chi_max = 0, max_period = 0;
+  std::vector<cplx> b0;          // (G)
+  std::vector<cplx> bD;          // (n_bD, D, G)
+  std::vector<int> d_of_g;       // (G)
+  std::vector<Tensor> chain;
+  int period = 0;                // 0 = not yet detected
+  long emitted = 0;
+  std::vector<RecSet> hist1, hist2;            // [phase][site]
+  std::vector<std::vector<int>> lock1, lock2;  // [phase][site], 0 = unlocked
+  std::deque<std::pair<RecSet, RecSet>> recent;  // pre-detection ring
+};
+
+RecMat* rec_at(RecSet& rs, int i) {
+  if (int(rs.size()) <= i) rs.resize(i + 1);
+  return &rs[i];
+}
+
+const RecMat* prev_at(RecSet* rs, int i) {
+  if (!rs || int(rs->size()) <= i) return nullptr;
+  return (*rs)[i].k > 0 ? &(*rs)[i] : nullptr;
+}
+
+int lock_at(std::vector<int>* lk, int i) {
+  if (!lk || int(lk->size()) <= i) return 0;
+  return (*lk)[i];
+}
+
+// Fused apply-layer + right-to-left zip-up truncation with alignment/locks:
+// the C++ twin of ptinf._zip_layer_sweep (same contraction order, same SVD
+// inputs, same truncation decisions).
+void ptinf_zip_sweep(PtinfState& st, double thr, RecSet* prev, RecSet* rec,
+                     std::vector<int>* lock) {
+  const int W = int(st.chain.size());
+  const int G = st.G, D = st.D;
+  const int start = std::max(0, W - st.w_eff);
+  std::vector<Tensor> out(W + 1);
+  // new site N (D, G, 1): N[d_of_g[g], g, 0] = b0[g]; no past in range ->
+  // close the layer bond immediately
+  Tensor cur;
+  if (W == 0 || st.w_eff == 0) {
+    cur.resize(1, G, 1);
+    for (int g = 0; g < G; ++g) cur.at(0, g, 0) += st.b0[g];
+  } else {
+    cur.resize(D, G, 1);
+    for (int g = 0; g < G; ++g) cur.at(st.d_of_g[g], g, 0) = st.b0[g];
+  }
+  std::vector<cplx> V, C;
+  for (int j = W; j > start; --j) {
+    int a = cur.a, b = cur.b, keep = 0;
+    trunc_step(cur.data, a, G * b, thr, st.chi_max, lock_at(lock, j),
+               prev_at(prev, j), rec ? rec_at(*rec, j) : nullptr, V, C, keep);
+    Tensor& oj = out[j];
+    oj.a = keep; oj.g = G; oj.b = b;
+    oj.data.assign(V.begin(), V.end());
+    Tensor& P = st.chain[j - 1];
+    int delta = W - (j - 1);
+    const cplx* B = st.bD.data() + size_t(delta - 1) * D * G;  // (D, G)
+    // C rows are the (r, c) composite with r = P.b: Crs (P.b, D, keep)
+    const int r_dim = P.b;
+    std::vector<cplx> Pg(size_t(P.a) * r_dim);
+    if (j - 1 == start) {
+      // oldest in-window site: cur(l,g,k) = sum_{r,c} P(l,g,r) B(c,g) Crs(r,c,k)
+      Tensor nx;
+      nx.resize(P.a, G, keep);
+      std::vector<cplx> Mg(size_t(r_dim) * keep);
+      for (int g = 0; g < G; ++g) {
+        for (int r = 0; r < r_dim; ++r)
+          for (int k2 = 0; k2 < keep; ++k2) {
+            cplx acc(0, 0);
+            for (int c = 0; c < D; ++c)
+              acc += B[size_t(c) * G + g] * C[(size_t(r) * D + c) * keep + k2];
+            Mg[size_t(r) * keep + k2] = acc;
+          }
+        for (int l = 0; l < P.a; ++l)
+          for (int r = 0; r < r_dim; ++r) Pg[size_t(l) * r_dim + r] = P.at(l, g, r);
+        std::vector<cplx> res(size_t(P.a) * keep);
+        matmul(Pg.data(), Mg.data(), res.data(), P.a, r_dim, keep);
+        for (int l = 0; l < P.a; ++l)
+          for (int k2 = 0; k2 < keep; ++k2) nx.at(l, g, k2) = res[size_t(l) * keep + k2];
+      }
+      cur = std::move(nx);
+    } else {
+      // interior: cur(l*D+c, g, k) = sum_r P(l,g,r) Crs(r,c,k) * B(c,g)
+      Tensor nx;
+      nx.resize(P.a * D, G, keep);
+      std::vector<cplx> res(size_t(P.a) * D * keep);
+      for (int g = 0; g < G; ++g) {
+        for (int l = 0; l < P.a; ++l)
+          for (int r = 0; r < r_dim; ++r) Pg[size_t(l) * r_dim + r] = P.at(l, g, r);
+        matmul(Pg.data(), C.data(), res.data(), P.a, r_dim, D * keep);
+        for (int l = 0; l < P.a; ++l)
+          for (int c = 0; c < D; ++c) {
+            cplx bg = B[size_t(c) * G + g];
+            for (int k2 = 0; k2 < keep; ++k2)
+              nx.at(l * D + c, g, k2) = res[(size_t(l) * D + c) * keep + k2] * bg;
+          }
+      }
+      cur = std::move(nx);
+    }
+  }
+  out[start] = std::move(cur);
+  // plain zip-up over untouched older sites (below the kernel range; only
+  // reachable when the chain exceeds w_eff — kept for parity with Python)
+  for (int i = start; i > 0; --i) {
+    Tensor& T = out[i];
+    int keep = 0;
+    trunc_step(T.data, T.a, G * T.b, thr, st.chi_max, lock_at(lock, i),
+               prev_at(prev, i), rec ? rec_at(*rec, i) : nullptr, V, C, keep);
+    Tensor nt;
+    nt.a = keep; nt.g = G; nt.b = T.b;
+    nt.data.assign(V.begin(), V.end());
+    Tensor& L = out[i - 1];
+    Tensor res;
+    res.resize(L.a, L.g, keep);
+    matmul(L.data.data(), C.data(), res.data.data(), L.a * L.g, L.b, keep);
+    out[i] = std::move(nt);
+    out[i - 1] = std::move(res);
+  }
+  st.chain = std::move(out);
+}
+
+// Aligned/locked right-to-left SVD truncation sweep (ptinf._svd_sweep_rl).
+void ptinf_svd_sweep(PtinfState& st, double thr, RecSet* prev, RecSet* rec,
+                     std::vector<int>* lock) {
+  std::vector<cplx> V, C;
+  for (int i = int(st.chain.size()) - 1; i > 0; --i) {
+    Tensor& T = st.chain[i];
+    int keep = 0;
+    trunc_step(T.data, T.a, T.g * T.b, thr, st.chi_max, lock_at(lock, i),
+               prev_at(prev, i), rec ? rec_at(*rec, i) : nullptr, V, C, keep);
+    Tensor nt;
+    nt.a = keep; nt.g = T.g; nt.b = T.b;
+    nt.data.assign(V.begin(), V.end());
+    Tensor& L = st.chain[i - 1];
+    Tensor res;
+    res.resize(L.a, L.g, keep);
+    matmul(L.data.data(), C.data(), res.data.data(), L.a * L.g, L.b, keep);
+    st.chain[i] = std::move(nt);
+    st.chain[i - 1] = std::move(res);
+  }
+}
+
+// Window Schmidt left-factor via right-canonicalization of a chain copy
+// (ptinf._right_canonicalize): returns L (a0, k0).
+void ptinf_lwin(const PtinfState& st, std::vector<cplx>& L, int& la, int& lk) {
+  std::vector<Tensor> ch = st.chain;
+  std::vector<cplx> U, Vh;
+  std::vector<double> S;
+  la = lk = 0;
+  for (int i = int(ch.size()) - 1; i >= 0; --i) {
+    Tensor& T = ch[i];
+    svd_pinned(T.data, T.a, T.g * T.b, U, S, Vh);
+    int k = int(S.size());
+    if (i > 0) {
+      Tensor nt;
+      nt.a = k; nt.g = T.g; nt.b = T.b;
+      nt.data = Vh;
+      // absorb U*S into the left neighbour
+      std::vector<cplx> US(size_t(T.a) * k);
+      for (int r = 0; r < T.a; ++r)
+        for (int c = 0; c < k; ++c) US[size_t(r) * k + c] = U[size_t(r) * k + c] * S[c];
+      Tensor& Lt = ch[i - 1];
+      Tensor res;
+      res.resize(Lt.a, Lt.g, k);
+      matmul(Lt.data.data(), US.data(), res.data.data(), Lt.a * Lt.g, Lt.b, k);
+      ch[i] = std::move(nt);
+      ch[i - 1] = std::move(res);
+    } else {
+      la = T.a;
+      lk = k;
+      L.resize(size_t(la) * lk);
+      for (int r = 0; r < la; ++r)
+        for (int c = 0; c < k; ++c) L[size_t(r) * lk + c] = U[size_t(r) * k + c] * S[c];
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -392,6 +700,130 @@ int pt_build(int n_steps, int n_mem, int G, int D, int w_eff,
                     &T.at(l, g, 0), sizeof(cplx) * T.b);
   }
   return 0;
+}
+
+// ---- stationary (ptinf) stepper ----
+
+void* ptinf_new(int G, int D, int n_bD, int w_eff, int chi_max, int max_period,
+                const cplx* b0, const cplx* bD, const int* d_of_g) {
+  PtinfState* st = new PtinfState();
+  st->G = G; st->D = D; st->n_bD = n_bD; st->w_eff = w_eff;
+  st->chi_max = chi_max; st->max_period = max_period;
+  st->b0.assign(b0, b0 + G);
+  st->bD.assign(bD, bD + size_t(std::max(n_bD, 1)) * D * G);
+  st->d_of_g.assign(d_of_g, d_of_g + G);
+  return st;
+}
+
+void ptinf_free(void* h) { delete static_cast<PtinfState*>(h); }
+
+// One build iteration (the body of the Python while-loop in
+// build_stationary_pt): fused zip sweep (thr*0.1) -> QR -> SVD sweep (thr)
+// -> QR; emit when the window is overfull; record bases.  Returns 1 when a
+// tensor was emitted (q/spec/lwin valid), 0 while the window is filling,
+// -1 if an emitted dimension exceeds chi_pad.
+int ptinf_step(void* h, double thr, cplx* q_out, int* q_dims,
+               double* spec_out, int* spec_len, cplx* lwin_out,
+               int* lwin_dims, int chi_pad) {
+  PtinfState& st = *static_cast<PtinfState*>(h);
+  const int ph = st.period > 0 ? int(st.emitted % st.period) : 0;
+  const bool use_prev = st.period > 0;
+  RecSet rec1, rec2;
+  ptinf_zip_sweep(st, thr * 0.1, use_prev ? &st.hist1[ph] : nullptr, &rec1,
+                  use_prev ? &st.lock1[ph] : nullptr);
+  qr_sweep_lr(st.chain, 0);
+  ptinf_svd_sweep(st, thr, use_prev ? &st.hist2[ph] : nullptr, &rec2,
+                  use_prev ? &st.lock2[ph] : nullptr);
+  qr_sweep_lr(st.chain, 0);
+  if (int(st.chain.size()) <= st.w_eff) return 0;
+  Tensor Q = emit(st.chain);
+  // strip the accumulated window norm (pure global scale; emissions are QR
+  // frames and never carry it — prevents float overflow over long transients)
+  Tensor& last = st.chain.back();
+  double s = 0.0;
+  for (const cplx& x : last.data) s += std::norm(x);
+  s = std::sqrt(s);
+  if (s > 0)
+    for (cplx& x : last.data) x /= s;
+  if (use_prev) {
+    st.hist1[ph] = std::move(rec1);
+    st.hist2[ph] = std::move(rec2);
+  } else {
+    st.recent.emplace_back(std::move(rec1), std::move(rec2));
+    if (int(st.recent.size()) > st.max_period) st.recent.pop_front();
+  }
+  st.emitted += 1;
+  if (Q.a > chi_pad || Q.b > chi_pad) return -1;
+  q_dims[0] = Q.a;
+  q_dims[1] = Q.b;
+  for (int l = 0; l < Q.a; ++l)
+    for (int g = 0; g < st.G; ++g)
+      std::memcpy(q_out + (size_t(l) * st.G + g) * chi_pad, &Q.at(l, g, 0),
+                  sizeof(cplx) * Q.b);
+  // window Schmidt left-factor + its spectrum (the gauge-invariant
+  // stationarity signal and the weighted-drift error metric)
+  std::vector<cplx> L;
+  int la = 0, lk = 0;
+  ptinf_lwin(st, L, la, lk);
+  if (la > chi_pad || lk > chi_pad) return -1;
+  lwin_dims[0] = la;
+  lwin_dims[1] = lk;
+  for (int r = 0; r < la; ++r)
+    std::memcpy(lwin_out + size_t(r) * chi_pad, L.data() + size_t(r) * lk,
+                sizeof(cplx) * lk);
+  std::vector<cplx> Lc = L, U, Vh;
+  std::vector<double> S;
+  svd_rowmajor(Lc, la, lk, U, S, Vh);
+  int ns = std::min<int>(int(S.size()), chi_pad);
+  *spec_len = ns;
+  double s0 = (ns > 0 && S[0] > 0) ? S[0] : 1.0;
+  for (int i = 0; i < ns; ++i) spec_out[i] = S[i] / s0;
+  return 1;
+}
+
+// Seed the alignment targets and rank locks from the last P pre-detection
+// emissions (ptinf.build_stationary_pt lines "period detected").
+void ptinf_seed(void* h, int period) {
+  PtinfState& st = *static_cast<PtinfState*>(h);
+  st.period = period;
+  st.hist1.assign(period, RecSet());
+  st.hist2.assign(period, RecSet());
+  st.lock1.assign(period, std::vector<int>());
+  st.lock2.assign(period, std::vector<int>());
+  const long m = st.emitted;
+  const int avail = std::min<int>(period, int(st.recent.size()));
+  for (int j = 0; j < avail; ++j) {
+    auto& pr = st.recent[st.recent.size() - 1 - j];
+    int phj = int(((m - 1 - j) % period + period) % period);
+    st.hist1[phj] = pr.first;
+    st.hist2[phj] = pr.second;
+    auto locks_of = [](const RecSet& rs) {
+      std::vector<int> lk(rs.size(), 0);
+      for (size_t i = 0; i < rs.size(); ++i) lk[i] = rs[i].k;
+      return lk;
+    };
+    st.lock1[phj] = locks_of(pr.first);
+    st.lock2[phj] = locks_of(pr.second);
+  }
+}
+
+// Period doubling on a stalled elementwise drift (gauge two-cycles).
+void ptinf_double(void* h) {
+  PtinfState& st = *static_cast<PtinfState*>(h);
+  const int old = st.period, nw = 2 * old;
+  std::vector<RecSet> h1(nw), h2(nw);
+  std::vector<std::vector<int>> l1(nw), l2(nw);
+  for (int p = 0; p < nw; ++p) {
+    h1[p] = st.hist1[p % old];
+    h2[p] = st.hist2[p % old];
+    l1[p] = st.lock1[p % old];
+    l2[p] = st.lock2[p % old];
+  }
+  st.hist1 = std::move(h1);
+  st.hist2 = std::move(h2);
+  st.lock1 = std::move(l1);
+  st.lock2 = std::move(l2);
+  st.period = nw;
 }
 
 }  // extern "C"

