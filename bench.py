@@ -3,6 +3,11 @@ biexciton with the superohmic phonon bath at 4 K (BASELINE.json config 3+2).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
+The headline runs at chi_max=128, the weight-aware default for weight-2
+couplings (docs/accuracy.md: 5.8e-2 coherence error at chi=64 vs 9.8e-3 at
+128 on the biexciton/darkmodel sector) — the accuracy-honest configuration,
+gated at trace drift <= 1e-3.
+
 vs_baseline is MEASURED (not estimated): the baseline is a single-threaded
 numpy complex128 loop performing the identical per-step work at identical
 (d^2, chi) shapes — dissipator half-steps, the U rho U^dagger sandwich, and
@@ -10,10 +15,19 @@ the PT-MPO bond contraction — i.e. what a single-core CPU engine (ACE's
 propagation stage) does per step.  The reference publishes no numbers
 (BASELINE.md), so this is the honest apples-to-apples single-core rate on
 this machine; the gate in BASELINE.json is >=50x.
+
+The ``mesh`` block is weak scaling on a virtual CPU mesh (lanes proportional
+to devices), produced by re-exec'ing this script with
+``--mesh-child N`` under JAX_PLATFORMS=cpu +
+--xla_force_host_platform_device_count=N; the child also audits the compiled
+HLO to confirm the sharded program contains NO cross-device collectives (the
+PT stack is replicated, lanes are independent — the expected ICI behavior on
+real hardware is therefore pure weak scaling).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -28,6 +42,37 @@ if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
     jax.config.update("jax_platforms", "cpu")
 
 os.environ.setdefault("PYACEQD_TPU_PROFILE", "1")
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+DT = 0.1
+T_MEM = 6.4
+T_END = 30.0
+
+
+def build_bench_system(chi_max=None):
+    """The bench workload: 4-level biexciton diamond + superohmic bath at 4 K."""
+    from pyaceqd_tpu.engine import hamiltonian as ham
+    from pyaceqd_tpu.engine import ptmpo
+
+    spec, _ = ham.build_system(
+        system_op=["-4.0*|3><3|_4"],
+        lindblad_ops=[["|0><1|_4", 0.01], ["|0><2|_4", 0.01],
+                      ["|1><3|_4", 0.01], ["|2><3|_4", 0.01]],
+        interaction_ops=[["|1><0|_4+|3><1|_4", "x"], ["|2><0|_4+|3><2|_4", "y"]],
+        initial="|0><0|_4",
+        output_ops=["|0><0|_4", "|1><1|_4", "|2><2|_4", "|3><3|_4"],
+        boson_op="1*(|1><1|_4 + |2><2|_4) + 2*|3><3|_4")
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    n_steps = int(round(T_END / DT))
+    kw = {} if chi_max is None else {"chi_max": chi_max}
+    pt = ptmpo.get_process_tensor(
+        boson_op=spec.boson_coupling, dt=DT, t_mem=T_MEM, ae=3.0,
+        temperature=4, n_steps=n_steps, threshold="8",
+        system_prefix="b_linear_bench", temp_dir=CACHE_DIR, **kw)
+    spec.H0 = spec.H0 + pt.counter_term
+    return spec, pt, n_steps
 
 
 def measure_single_core_baseline(pt, n_steps, d, reps=3, n_time=60):
@@ -60,74 +105,123 @@ def measure_single_core_baseline(pt, n_steps, d, reps=3, n_time=60):
     return n_time / best
 
 
-def main():
-    from pyaceqd_tpu.engine import hamiltonian as ham
-    from pyaceqd_tpu.engine import ptmpo
+def run_config(spec, pt, n_steps, n_areas, reps=3):
+    """Compile + time the batched sweep; returns (steps/s, trace_err, outs)."""
     from pyaceqd_tpu.parallel.sweep import area_sweep
     from pyaceqd_tpu.pulses import ChirpedPulse
     from pyaceqd_tpu.utils import profiling
 
-    dt = 0.1
-    t_mem = 6.4
-    t_end = 30.0
-    n_steps = int(round(t_end / dt))
-    # batched sweep: every lane is an independent propagation (a 64x64
-    # pulse-area/detuning map); single-chip HBM supports 4096 lanes x 300
-    # steps in one compiled program (8192 OOMs on eigh tile-padding temps)
-    n_areas = 4096
-
-    spec, _ = ham.build_system(
-        system_op=["-4.0*|3><3|_4"],
-        lindblad_ops=[["|0><1|_4", 0.01], ["|0><2|_4", 0.01],
-                      ["|1><3|_4", 0.01], ["|2><3|_4", 0.01]],
-        interaction_ops=[["|1><0|_4+|3><1|_4", "x"], ["|2><0|_4+|3><2|_4", "y"]],
-        initial="|0><0|_4",
-        output_ops=["|0><0|_4", "|1><1|_4", "|2><2|_4", "|3><3|_4"],
-        boson_op="1*(|1><1|_4 + |2><2|_4) + 2*|3><3|_4")
-
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    with profiling.phase("pt_build"):
-        pt = ptmpo.get_process_tensor(
-            boson_op=spec.boson_coupling, dt=dt, t_mem=t_mem, ae=3.0,
-            temperature=4, n_steps=n_steps, threshold="8",
-            system_prefix="b_linear_bench", temp_dir=cache_dir)
-    spec.H0 = spec.H0 + pt.counter_term
-
     p_unit = ChirpedPulse(tau_0=3.0, e_start=-2.0, alpha=0, e0=1, t0=12.0)
     areas = np.linspace(0, 12, n_areas)
-
-    # compile + warm up
     with profiling.phase("compile_and_first_run"):
-        t, outs = area_sweep(spec, [p_unit], areas, 0, t_end, dt, pt=pt)
-    # sanity gate: trace preservation across the batch.  The worst-lane
-    # drift at this config is NOT float noise but the documented chi_max=64
-    # truncation level of the weight-2 biexciton sector under the strongest
-    # drive lanes: measured 1.76e-3 at FLOAT64 on CPU with the identical
-    # cached PT (docs/accuracy.md: 1.1e-3 "strong drive" in round 1; drops
-    # ~6x at chi_max=128 at 4x the matmul cost).  The gate sits just above
-    # the known physics level so any REAL leak (a regression, not
-    # truncation) still trips it.
+        t, outs = area_sweep(spec, [p_unit], areas, 0, T_END, DT, pt=pt)
     trace = np.real(outs.sum(axis=2))
     trace_err = float(np.max(np.abs(trace - 1.0)))
-    trace_ok = bool(trace_err < 2.5e-3)
-
     # timed runs (program cached; each run = n_areas independent PT-MPO
     # propagations of n_steps each).  Per-rep best: the tunnel to the chip
     # occasionally stalls a transfer (measured 3x swings on identical
     # programs), and a single slow rep should not define the number.
-    reps = 3
     per_rep = []
     for _ in range(reps):
         t0 = time.time()
         with profiling.phase("steady_run"):
-            t, outs = area_sweep(spec, [p_unit], areas, 0, t_end, dt, pt=pt)
+            t, outs = area_sweep(spec, [p_unit], areas, 0, T_END, DT, pt=pt)
         per_rep.append(time.time() - t0)
-    steps_per_sec = n_areas * n_steps / min(per_rep)
+    return n_areas * n_steps / min(per_rep), trace_err, outs
+
+
+def mesh_child(n_devices):
+    """Weak-scaling probe on a virtual CPU mesh: lanes = LANES_PER_DEV *
+    n_devices, one shard per device; prints one JSON line with per-device
+    steps/s and the collective audit of the compiled HLO."""
+    import jax
+    assert jax.device_count() == n_devices, (
+        "expected %d virtual devices, got %d" % (n_devices, jax.device_count()))
+    from pyaceqd_tpu.parallel import mesh as mesh_util
+    from pyaceqd_tpu.parallel.sweep import area_sweep, area_sweep_hlo
+    from pyaceqd_tpu.pulses import ChirpedPulse
+
+    spec, pt, _ = build_bench_system()
+    lanes_per_dev = 32
+    t_end = 15.0
+    n_steps = int(round(t_end / DT))
+    mesh = mesh_util.default_mesh(n_devices)
+    p_unit = ChirpedPulse(tau_0=3.0, e_start=-2.0, alpha=0, e0=1, t0=12.0)
+    areas = np.linspace(0, 12, lanes_per_dev * n_devices)
+
+    area_sweep(spec, [p_unit], areas, 0, t_end, DT, pt=pt, mesh=mesh)  # compile
+    best = np.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _, outs = area_sweep(spec, [p_unit], areas, 0, t_end, DT, pt=pt, mesh=mesh)
+        best = min(best, time.perf_counter() - t0)
+    trace_err = float(np.max(np.abs(np.real(outs.sum(axis=2)) - 1.0)))
+
+    hlo = area_sweep_hlo(spec, [p_unit], areas, 0, t_end, DT, pt=pt, mesh=mesh)
+    collectives = sorted({op for op in
+                          ("all-gather", "all-reduce", "collective-permute",
+                           "all-to-all", "reduce-scatter")
+                          if op in hlo})
+    steps_per_sec = len(areas) * n_steps / best
+    print(json.dumps({
+        "n_devices": n_devices,
+        "lanes": len(areas),
+        "steps_per_sec": round(steps_per_sec, 1),
+        "per_device_steps_per_sec": round(steps_per_sec / n_devices, 1),
+        "trace_err": trace_err,
+        "hlo_collectives": collectives,
+    }))
+
+
+def run_mesh_block():
+    """Spawn the CPU virtual-mesh children (1 and 8 devices) and collect the
+    weak-scaling numbers."""
+    rows = []
+    for nd in (1, 8):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=%d" % nd)
+        env.pop("PYACEQD_TPU_PROFILE", None)
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--mesh-child", str(nd)],
+                capture_output=True, text=True, timeout=1200, env=env)
+            line = [l for l in out.stdout.strip().splitlines()
+                    if l.startswith("{")][-1]
+            rows.append(json.loads(line))
+        except Exception as exc:  # never fail the headline over the mesh probe
+            rows.append({"n_devices": nd, "error": str(exc)[:200]})
+    block = {"weak_scaling": rows}
+    if len(rows) == 2 and "error" not in rows[0] and "error" not in rows[1]:
+        block["efficiency_8dev"] = round(
+            rows[1]["per_device_steps_per_sec"]
+            / rows[0]["per_device_steps_per_sec"], 3)
+        block["collective_free"] = not rows[1]["hlo_collectives"]
+    return block
+
+
+def main():
+    from pyaceqd_tpu.utils import profiling
+
+    # batched sweep: every lane is an independent propagation (a 64x64
+    # pulse-area/detuning map); single-chip HBM supports 4096 lanes x 300
+    # steps in one compiled program (8192 OOMs on eigh tile-padding temps)
+    n_areas = 4096
+    with profiling.phase("pt_build"):
+        spec, pt, n_steps = build_bench_system()   # weight-2 default: chi_max=128
+
+    steps_per_sec, trace_err, _ = run_config(spec, pt, n_steps, n_areas)
+    # accuracy gate at the chi=128 headline: trace drift must sit at or below
+    # 1e-3 (the chi=64 truncation level was 1.76e-3; 128 caps the weight-2
+    # sector honestly — see docs/accuracy.md)
+    trace_ok = bool(trace_err < 1e-3)
 
     with profiling.phase("baseline_single_core"):
         fin = pt.materialize(n_steps) if hasattr(pt, "bulk") else pt
         base = measure_single_core_baseline(fin, n_steps, spec.dim)
+
+    mesh_block = run_mesh_block()
 
     phases = {k: round(v["total_s"], 3) for k, v in profiling.report().items()}
     print(json.dumps({
@@ -139,9 +233,13 @@ def main():
         "baseline_source": "measured: single-thread numpy c128 loop, identical per-step work and shapes",
         "trace_ok": trace_ok,
         "trace_err": trace_err,
+        "mesh": mesh_block,
         "phases_s": phases,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--mesh-child" in sys.argv:
+        mesh_child(int(sys.argv[sys.argv.index("--mesh-child") + 1]))
+    else:
+        main()

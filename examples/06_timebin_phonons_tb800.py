@@ -64,6 +64,8 @@ print("tb = %g ps, dt = %g, t_mem = %g (stationary PT), phonons at 4 K"
 print("two-photon time-bin density matrix (normalized):")
 print(np.array2string(dm / norm, precision=4, suppress_small=True))
 print("concurrence = %.4f   (wall clock %.1f s)" % (conc, elapsed))
+import pyaceqd_tpu  # noqa: E402
+print("PT diagnostics:", pyaceqd_tpu.format_pt_info())
 # Measured on one v5e chip (2026-08-17, stationary PT cached; first build
 # ~11 min on one host core):
 #   rho_EE = 0.241, rho_LL = 0.757, rho_EL = 0.0015, rho_LE = 0.0002,

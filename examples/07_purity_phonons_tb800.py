@@ -76,3 +76,5 @@ if __name__ == "__main__":
           % (I_dir, P_dir, s_dir))
     print("engine agreement: dI = %.2e  dP = %.2e"
           % (abs(I_tl - I_dir), abs(P_tl - P_dir)))
+    import pyaceqd_tpu
+    print("PT diagnostics:", pyaceqd_tpu.format_pt_info())

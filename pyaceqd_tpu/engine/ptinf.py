@@ -84,7 +84,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from pyaceqd_tpu.engine.ptmpo import (
-    _apply_layer, _qr_sweep_lr, _emit, influence_factors, ProcessTensor)
+    _apply_layer, _qr_sweep_lr, _emit, influence_factors, sector_scales,
+    ProcessTensor)
 
 
 # ---------------------------------------------------------------------------
@@ -414,7 +415,8 @@ def _make_stepper(b0, bD, d_of_g, w_eff, chi_max, max_period, backend=None):
 def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
                         chi_max=64, eta_cut=1e-10, steady_tol=None,
                         steady_runs=3, max_period=4, max_iter_factor=24,
-                        align_budget=100, verbose=False, backend=None):
+                        align_budget=100, verbose=False, backend=None,
+                        sector_norm=False):
     """Find the stationary PT {init, bulk cycle, caps} for the bath described
     by the QUAPI coefficients eta (len n_mem) and coupling groups (nu, mu).
 
@@ -454,6 +456,15 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
         steady_tol = max(100 * threshold, 3e-6)
     elem_tol = max(0.01 * threshold, 1e-10)
     b0, bD, d_of_g = influence_factors(eta, nu, mu)
+    m_g = None
+    if sector_norm:
+        # sector-aware truncation (ptmpo.sector_scales): the stepper iterates
+        # on the group-boosted functional so strongly-dephasing sectors keep
+        # their Schmidt weight; the emitted tensors are rescaled back below,
+        # BEFORE the transfer-eigenvector caps (m_g = 1 on the diagonal
+        # group, so the trace closure itself is unchanged)
+        m_g = sector_scales(eta, nu, mu)
+        b0 = b0 / m_g
     mags = np.abs(eta)
     big = np.where(mags[1:] > eta_cut * mags[0])[0]
     w_eff = min(int(big[-1] + 1) if len(big) else 1, n_mem - 1)
@@ -600,6 +611,11 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
             f"finite-horizon builder (note: the 'last'-cell tail-absorbed "
             f"kernel is always in this class; the stationary engine requires "
             f"the sharp t_mem cut or the 'onsite' absorption)")
+    if m_g is not None:
+        # restore the exact influence functional (per-(step, group) constant
+        # commutes through the sites); all caps/eigenvector math below then
+        # operates on the true tensors
+        emitted = [Q * m_g[None, :, None] for Q in emitted]
     # shape guard: adjacent cycle emissions chain by construction; the wrap
     # junction (last -> first repetition) may differ by weightless rank
     # flicker and is closed by the global chi padding below
@@ -895,7 +911,7 @@ def propagate_ptinf(pt: StationaryPT, U, E_half, rho0_vec, W, mto_sops,
 # ---------------------------------------------------------------------------
 
 def load_or_build(path, eta, g_of_s, nu, mu, counter_term, threshold,
-                  chi_max, fingerprint, verbose=False):
+                  chi_max, fingerprint, verbose=False, sector_norm=False):
     import os
     g_arr = np.asarray(g_of_s, dtype=np.int32)
     if os.path.exists(path):
@@ -915,7 +931,7 @@ def load_or_build(path, eta, g_of_s, nu, mu, counter_term, threshold,
         print("{} not found. Calculating stationary PT...".format(path))
     pt = build_stationary_pt(eta, g_of_s, nu, mu, counter_term,
                              threshold=threshold, chi_max=chi_max,
-                             verbose=verbose)
+                             verbose=verbose, sector_norm=sector_norm)
     try:
         np.savez(path, init_stack=pt.init_stack, init_caps=pt.init_caps,
                  bulk=pt.bulk, cap_bulk=pt.cap_bulk, g_of_s=pt.g_of_s,

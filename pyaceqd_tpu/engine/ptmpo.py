@@ -92,6 +92,36 @@ def influence_factors(eta, nu, mu):
     return b0, bD, d_of_g.astype(np.int32)
 
 
+def sector_scales(eta, nu, mu):
+    """Per-step window-averaged secular magnitude m_g of a path constant in
+    Liouville group g.
+
+    A constant-g path accumulates the exact dephasing exponent
+    G_W = dnu_g^2 * Re[W eta_0 + sum_d (W - d) eta_d] over a window of
+    W = len(eta) steps (the superohmic kernel's per-step rate SATURATES, so
+    the window total — not the asymptotic rate — is what buries the sector:
+    e.g. exp(-G_102) ~ 1e-8 for the dnu=2 darkmodel sector).  The per-step
+    scale that cancels it across the window is
+
+        m_g = exp(-dnu_g^2 * Re[eta_0 + sum_d (1 - d/W) eta_d]).
+
+    Used by sector-aware truncation (VERDICT r2 item 5): building with the
+    onsite factor boosted by 1/m_g keeps every group's window-integrated
+    magnitude O(1), so the RELATIVE SVD threshold compares sectors in their
+    own undecayed scale instead of truncating strongly-dephasing
+    (high |nu-mu|) coherence sectors wholesale (the measured err-0.1125
+    floor at n_mem=102, NOTES_round2).  Multiplying each emitted tensor's
+    g-slice by m_g restores the exact influence functional: a per-(step,
+    group) constant c_{g(s_k)} factors out of the path sum and commutes
+    through the MPS sites."""
+    eta = np.asarray(eta)
+    dnu = np.asarray(nu, dtype=float) - np.asarray(mu, dtype=float)
+    W = len(eta)
+    w = 1.0 - np.arange(W) / W
+    r = max(float(np.real(np.sum(w * eta))), 0.0)
+    return np.exp(-dnu ** 2 * r)
+
+
 # ---------------------------------------------------------------------------
 # streaming windowed MPS construction (host)
 # ---------------------------------------------------------------------------
@@ -172,7 +202,8 @@ def _emit(chain):
 
 
 def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
-                     eta_cut=1e-10, verbose=False):
+                     eta_cut=1e-10, verbose=False, odd_threshold_ratio=None,
+                     b0_scale=None):
     """Build the per-step PT tensors for a propagation horizon of n_steps.
 
     The memory window is len(eta) steps, but the layer only threads through
@@ -183,9 +214,16 @@ def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
     tensors simply have no future factors — correct for every readout within
     the horizon).  Returns a list of n_steps tensors Q_k[chi_l, G, chi_r]
     with chi_0 = chi_n = 1.
+
+    odd_threshold_ratio emulates ACE's ``odd_threshold_ratio`` knob (the
+    reference forwards "0.3", general_system.py:163): odd-index layers
+    truncate at ``threshold * ratio``.  Default None = uniform threshold;
+    measured impact is documented at simulate()'s docstring.
     """
     n_mem = len(eta)
     b0, bD, d_of_g = influence_factors(eta, nu, mu)
+    if b0_scale is not None:
+        b0 = b0 * np.asarray(b0_scale)
     mags = np.abs(eta)
     big = np.where(mags[1:] > eta_cut * mags[0])[0]
     w_eff = int(big[-1] + 1) if len(big) else 1
@@ -195,13 +233,16 @@ def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
         touched = min(len(chain), w_eff)
         chain = _apply_layer(chain, b0, bD, d_of_g, w_eff)
         seg = max(0, len(chain) - 1 - touched)  # leftmost modified site index
+        thr_step = threshold
+        if odd_threshold_ratio is not None and step % 2 == 1:
+            thr_step = threshold * float(odd_threshold_ratio)
         # zip-up truncation right-to-left on the inflated tensors (cheap:
         # right bonds are already truncated when each site is reached; mildly
         # suboptimal since the left part is not re-canonicalized yet, so use
         # a tighter threshold), then canonicalize and truncate properly
-        chain = _svd_sweep_rl(chain, threshold * 0.1, chi_max, stop=seg)
+        chain = _svd_sweep_rl(chain, thr_step * 0.1, chi_max, stop=seg)
         chain = _qr_sweep_lr(chain, start=seg)
-        chain = _svd_sweep_rl(chain, threshold, chi_max, stop=seg)
+        chain = _svd_sweep_rl(chain, thr_step, chi_max, stop=seg)
         chain = _qr_sweep_lr(chain, start=seg)
         if len(chain) == n_mem:
             Q, chain = _emit(chain)
@@ -250,19 +291,33 @@ def _pad(T, chi):
 
 
 def assemble_process_tensor(eta, g_of_s, nu, mu, counter_term, n_steps,
-                            threshold=1e-8, chi_max=64, verbose=False):
+                            threshold=1e-8, chi_max=64, verbose=False,
+                            sector_norm=False):
+    """sector_norm=True enables sector-aware truncation (see sector_scales):
+    the build runs on the group-boosted influence functional and the emitted
+    tensors are rescaled back, protecting high-|nu-mu| coherence sectors from
+    the relative-threshold floor in long memory windows.  This is a
+    capability ACE's plain relative threshold does not have."""
     # prefer the native (C++/LAPACK) builder; physics is identical (the two
     # backends differ only by truncation-basis gauge, see tests/test_native.py)
+    m_g = sector_scales(eta, nu, mu) if sector_norm else None
+    b0_scale = (1.0 / m_g) if sector_norm else None
     tensors = None
     try:
         from pyaceqd_tpu.native import build_pt_tensors_native
         tensors = build_pt_tensors_native(eta, nu, mu, n_steps,
-                                          threshold=threshold, chi_max=chi_max)
+                                          threshold=threshold, chi_max=chi_max,
+                                          b0_scale=b0_scale)
     except Exception:
         tensors = None
     if tensors is None:
         tensors = build_pt_tensors(eta, nu, mu, n_steps, threshold=threshold,
-                                   chi_max=chi_max, verbose=verbose)
+                                   chi_max=chi_max, verbose=verbose,
+                                   b0_scale=b0_scale)
+    if sector_norm:
+        # restore the exact influence functional: the per-(step, group)
+        # boost factors out of the path sum site by site
+        tensors = [T * m_g[None, :, None] for T in tensors]
     # the chain is left-canonical with the global norm in the last tensor;
     # rescale it to O(1) so the device stack is float32-castable.  A single
     # global tensor scale cancels exactly in the caps normalization below.
@@ -374,12 +429,15 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
                        threshold="10", use_infinite=False, J_file=None,
                        factor_ah=None, boson_e_max=7, system_prefix="",
                        pt_file=None, temp_dir=None, J_to_file=None,
-                       verbose=False, chi_max=None, subtract_polaron_shift=True):
+                       verbose=False, chi_max=None, subtract_polaron_shift=True,
+                       sector_norm=False):
     """Load or build the process tensor for the given bath parameters and
     propagation horizon.  A cached chain built for a longer horizon serves
     shorter runs via its prefix; a longer request triggers a rebuild.
 
-    chi_max=None selects the weight-aware default (see default_chi_max)."""
+    chi_max=None selects the weight-aware default (see default_chi_max).
+    sector_norm=True enables sector-aware truncation (sector_scales) —
+    cached separately (``.sn`` infix) and fingerprinted."""
     if boson_op is None:
         raise ValueError("phonons=True requires a boson coupling operator")
     if chi_max is None:
@@ -398,6 +456,8 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
 
     path = _cache_path(system_prefix, ae, temperature, threshold, t_mem, dt,
                        J_file, temp_dir, pt_file)
+    if sector_norm:
+        path = path.replace("_ptmpo_v2.npz", ".sn_ptmpo_v2.npz")
     g_of_s, nu, mu = liouville_groups(boson_op)
     n_mem = max(2, int(round(t_mem / dt)))
     eta = spectral.eta_coefficients(J, dt, n_mem, temperature,
@@ -405,11 +465,13 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
     # bath fingerprint: the filename-style key omits factor_ah / boson_e_max /
     # chi_max / subtract_polaron_shift (the reference's PT filenames have the
     # same gap); validate them on load so a changed bath never silently
-    # reuses a stale cache
+    # reuses a stale cache.  sector_norm appends a token only when enabled so
+    # pre-existing default-path caches stay valid.
     import hashlib
     fp = hashlib.sha256(
         np.ascontiguousarray(eta).tobytes()
         + repr((int(chi_max), bool(subtract_polaron_shift))).encode()
+        + (b"+sector_norm" if sector_norm else b"")
     ).hexdigest()
     Bdiag = np.real(np.diag(np.asarray(boson_op)))
     delta_p = J.polaron_shift()
@@ -434,13 +496,14 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
         fp_inf = _h.sha256(
             np.ascontiguousarray(eta_inf).tobytes()
             + repr((int(chi_max), bool(subtract_polaron_shift))).encode()
+            + (b"+sector_norm" if sector_norm else b"")
         ).hexdigest()
         inf_path = path.replace("_ptmpo_v2.npz", "_ptinf_v3.npz")
         try:
             was_cached = os.path.exists(inf_path)
             spt = ptinf.load_or_build(inf_path, eta_inf, g_of_s, nu, mu,
                                       counter, thr, chi_max, fp_inf,
-                                      verbose=verbose)
+                                      verbose=verbose, sector_norm=sector_norm)
             diagnostics.record_pt(
                 engine="stationary", chi=spt.chi, chi_max=chi_max,
                 saturated=spt.chi >= chi_max, period=spt.period,
@@ -475,7 +538,8 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
     if verbose:
         print("{} not found (or too short). Calculating...".format(path))
     pt = assemble_process_tensor(eta, g_of_s, nu, mu, counter, n_steps,
-                                 threshold=thr, chi_max=chi_max, verbose=verbose)
+                                 threshold=thr, chi_max=chi_max, verbose=verbose,
+                                 sector_norm=sector_norm)
     diagnostics.record_pt(
         engine="finite", chi=pt.chi, chi_max=chi_max,
         saturated=pt.chi >= chi_max, n_mem=pt.n_mem, cached=False, path=path)

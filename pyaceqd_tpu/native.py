@@ -158,7 +158,7 @@ class NativePtinfStepper:
 
 
 def build_pt_tensors_native(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
-                            eta_cut=1e-10, verbose=False):
+                            eta_cut=1e-10, verbose=False, b0_scale=None):
     """Native equivalent of engine.ptmpo.build_pt_tensors.
 
     Returns a list of n_steps (chi_l, G, chi_r) complex tensors, or None if
@@ -169,6 +169,8 @@ def build_pt_tensors_native(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
     from pyaceqd_tpu.engine.ptmpo import influence_factors
     n_mem = len(eta)
     b0, bD, d_of_g = influence_factors(eta, nu, mu)
+    if b0_scale is not None:
+        b0 = b0 * np.asarray(b0_scale)
     G = len(b0)
     D = bD.shape[1] if len(bD) else 1
     mags = np.abs(eta)

@@ -138,6 +138,26 @@ def area_sweep(spec, pulses_unit, scales, t_start, t_end, dt, pt=None,
                             t_end, dt, pt=pt, mesh=mesh, chunk=chunk)
                  for i in range(0, len(scales), chunk)]
         return parts[0][0], np.concatenate([p[1] for p in parts], axis=0)
+    t, n_valid, fn, args, statics = _prep_sweep(
+        spec, pulses_unit, scales, t_start, t_end, dt, pt, mesh)
+    outs = fn(*args, **statics)
+    return t, np.asarray(outs)[:n_valid]
+
+
+def area_sweep_hlo(spec, pulses_unit, scales, t_start, t_end, dt, pt=None,
+                   mesh=None):
+    """Compiled HLO text of the sweep program, for sharding/collective audits
+    on CPU or a virtual mesh (the bench's weak-scaling mode asserts the PT
+    stack is replicated — no all-gather/all-reduce in the compiled program)."""
+    _, _, fn, args, statics = _prep_sweep(
+        spec, pulses_unit, scales, t_start, t_end, dt, pt, mesh)
+    return fn._jitted.lower(*args, **statics).compile().as_text()
+
+
+def _prep_sweep(spec, pulses_unit, scales, t_start, t_end, dt, pt, mesh):
+    """Host-side argument prep shared by area_sweep and area_sweep_hlo.
+
+    Returns (t, n_valid, jitted_fn, args, static_kwargs)."""
     cdt = config.cdtype()
     rdt = config.rdtype()
     n = int(round((t_end - t_start) / dt))
@@ -169,6 +189,7 @@ def area_sweep(spec, pulses_unit, scales, t_start, t_end, dt, pt=None,
             np.abs(F_unit)) * sum(np.abs(Cc).sum(axis=1).max() for Cc in C)
     n_sq = max(0, int(np.ceil(np.log2(max(dt / hbar * h_bound, 0.25) / 0.5))))
 
+    statics = dict(has_diss=has_diss, n_sq=n_sq)
     if pt is not None:
         if hasattr(pt, "bulk"):
             # StationaryPT: sweeps run at Rabi-map horizons (a few hundred
@@ -177,13 +198,10 @@ def area_sweep(spec, pulses_unit, scales, t_start, t_end, dt, pt=None,
             pt = pt.materialize(n)
         else:
             pt = pt.prefix(n)
-        outs = _area_sweep_pt_core(
-            pt.stack.astype(cdt), pt.caps.astype(cdt),
-            np.asarray(pt.g_of_s, dtype=np.int32), spec.H0.astype(cdt), C,
-            F_unit.astype(cdt), scales_dev, E_half, rho0_vec, W, rdt(dt),
-            has_diss=has_diss, n_sq=n_sq)
-    else:
-        outs = _area_sweep_core(spec.H0.astype(cdt), C, F_unit.astype(cdt),
-                                scales_dev, E_half, rho0_vec, W, rdt(dt),
-                                has_diss=has_diss, n_sq=n_sq)
-    return t, np.asarray(outs)[:n_valid]
+        args = (pt.stack.astype(cdt), pt.caps.astype(cdt),
+                np.asarray(pt.g_of_s, dtype=np.int32), spec.H0.astype(cdt), C,
+                F_unit.astype(cdt), scales_dev, E_half, rho0_vec, W, rdt(dt))
+        return t, n_valid, _area_sweep_pt_core, args, statics
+    args = (spec.H0.astype(cdt), C, F_unit.astype(cdt), scales_dev, E_half,
+            rho0_vec, W, rdt(dt))
+    return t, n_valid, _area_sweep_core, args, statics

@@ -111,6 +111,10 @@ def hostsafe(fn=None, *, static_argnames=()):
         return jax.tree_util.tree_map(_join_host, out,
                                       is_leaf=lambda x: isinstance(x, CPair))
 
+    # expose the plain jitted callable for AOT introspection (.lower ->
+    # compiled HLO) on CPU/virtual-mesh runs, e.g. the bench's collective
+    # audit of sharded sweep programs
+    wrapper._jitted = jitted_plain
     return wrapper
 
 
