@@ -66,11 +66,20 @@ print(np.array2string(dm / norm, precision=4, suppress_small=True))
 print("concurrence = %.4f   (wall clock %.1f s)" % (conc, elapsed))
 import pyaceqd_tpu  # noqa: E402
 print("PT diagnostics:", pyaceqd_tpu.format_pt_info())
-# Measured on one v5e chip (2026-08-17, stationary PT cached; first build
-# ~11 min on one host core):
-#   rho_EE = 0.241, rho_LL = 0.757, rho_EL = 0.0015, rho_LE = 0.0002,
-#   |rho_EE,LL| = 0.099, concurrence = 0.1972, wall clock 379 s.
-# The dark storage suppresses the EL/LE error channels by ~500x relative
+# Measured on one v5e chip (2026-08-18, stationary PT cached; chi=25,
+# period=2, build residual 2.5e-6):
+#   rho_EE = 0.400, rho_LL = 0.598, rho_EL = 0.0017, rho_LE = 0.0004,
+#   |rho_EE,LL| = 0.296, concurrence = 0.5911, wall clock 540 s.
+# HISTORY: round 2 reported concurrence 0.1972 from a chi=13 stationary
+# build — an ARTIFACT of premature steady-state detection (the slow
+# n_mem=102 transient passed the lag-1 drift tolerance mid-transient and
+# the per-bond rank locks froze the undersized pattern; ADVICE r2 finding
+# 1).  The rank-growth-aware detector (max-tail drift + lag-8P flatness
+# guard, commit 4219791) converges at chi=25 and the EE-LL coherence
+# triples.  Anchors: the reduced-tb finite-vs-stationary protocol gate
+# (tests/test_timebin.py::test_twophoton_dark_storage_finite_vs_stationary
+# _phonons) and the threshold-convergence row below.
+# The dark storage suppresses the EL/LE error channels by ~350x relative
 # to the naive ground-state TPE protocol; the remaining concurrence
 # reduction is the phonon + radiative dephasing of the dark-XX coherence
 # over the 800 ps bin and the unbalanced pi/2 (EE != LL).

@@ -25,6 +25,16 @@ from pyaceqd_tpu.ops.dsl import parse_operator
 
 
 def _product_str(*ops):
+    """Operator product for the tau=0 output row; accepts operator strings
+    (joined for the DSL) or matrices (multiplied directly)."""
+    if any(not isinstance(o, str) for o in ops):
+        from pyaceqd_tpu.ops.dsl import parse_operator
+        mats = [parse_operator(o) if isinstance(o, str) else np.asarray(o)
+                for o in ops]
+        P = mats[0]
+        for M in mats[1:]:
+            P = P @ M
+        return P
     return "(" + "*".join(ops) + ")"
 
 

@@ -208,6 +208,14 @@ def batched_mto_runs(task: Task, mtos, mto_times, gather_times, output_ops,
     before = tuple(str(m.get("applyBefore", "false")).lower() == "true" for m in mtos)
     W = np.stack([superop.trace_vector(parse_operator(o) if isinstance(o, str) else o)
                   for o in output_ops]).astype(cdt)
+    T = task.basis_sop
+    if T is not None:
+        # non-diagonal boson coupling: task.U/E_half/rho0_vec live in the
+        # coupling eigenbasis (simulate.py); conjugate the lab-basis event
+        # superops and output weights to match
+        sops_all = np.einsum('ij,...jk,kl->...il', T, sops_all,
+                             T.conj().T).astype(cdt)
+        W = (W @ T.conj().T).astype(cdt)
     mto_ks = np.asarray(task.k_of(mto_times), dtype=np.int32).reshape(len(mto_times), len(mtos))
     gather_ks = np.asarray(task.k_of(gather_times), dtype=np.int32)
     B = mto_ks.shape[0]
@@ -445,6 +453,9 @@ def batched_dynmap_runs(task: Task, mtos, mto_times, chunk=32):
         len(mto_times), len(mtos))
     d2 = task.dim * task.dim
     W_eye = np.eye(d2, dtype=cdt)
+    T = task.basis_sop
+    if T is not None:
+        sops = np.einsum('ij,njk,kl->nil', T, sops, T.conj().T).astype(cdt)
     B = mto_ks.shape[0]
     out = []
     for lo in range(0, B, chunk):
@@ -475,4 +486,8 @@ def batched_dynmap_runs(task: Task, mtos, mto_times, chunk=32):
             out.append(np.asarray(_vmapped_dynmaps_core(
                 task.U, task.E_half, W_eye, sops, mk, mto_before=before,
                 has_diss=task.has_diss)))
-    return np.concatenate(out, axis=0)
+    maps = np.concatenate(out, axis=0)
+    if T is not None:
+        # dynamical maps back to the lab basis: E_lab = T^dagger E_rot T
+        maps = np.einsum('ij,bnjk,kl->bnil', T.conj().T, maps, T)
+    return maps

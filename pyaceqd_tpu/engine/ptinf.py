@@ -269,6 +269,7 @@ class StationaryPT:
     chi: int
     n_mem: int
     build_residual: float = 0.0   # final elementwise lag-P emission drift
+    basis: np.ndarray = None      # V (d, d) when the coupling was diagonalized
 
     @property
     def n_init(self):
@@ -305,7 +306,7 @@ class StationaryPT:
                 caps[j] = self.cap_bulk[(j - K) % P]
         return ProcessTensor(stack=stack, caps=caps, g_of_s=self.g_of_s,
                              counter_term=self.counter_term, chi=chi,
-                             n_mem=self.n_mem)
+                             n_mem=self.n_mem, basis=self.basis)
 
 
 # ---------------------------------------------------------------------------

@@ -78,6 +78,21 @@ def _apply_before(mto):
     return str(v).lower() == "true"
 
 
+def _basis_superop(V):
+    """T with vec(V^dagger rho V) = T vec(rho) (row-major vec): the Liouville
+    conjugation into the coupling eigenbasis of a non-diagonal boson_op
+    (ptmpo.coupling_eigenbasis).  T is unitary, so T^{-1} = T^dagger."""
+    return np.kron(V.conj().T, V.T)
+
+
+def rotate_superop(S, T):
+    """Conjugate a superoperator into the coupling eigenbasis (no-op for
+    T=None).  Composition-safe: rotate(S1) @ rotate(S2) == rotate(S1 @ S2)."""
+    if T is None:
+        return S
+    return T @ S @ T.conj().T
+
+
 def time_grid(t_start, t_end, dt):
     n = int(round((t_end - t_start) / dt))
     return t_start + dt * np.arange(n + 1), n
@@ -103,6 +118,11 @@ class Task:
     W: Any                        # (n_out, d^2) output weights (device)
     spec: Any                     # the SystemSpec (host matrices)
     pt: Optional[Any] = None      # process tensor (phonons) or None
+    basis_sop: Optional[Any] = None  # T (d^2, d^2) when the boson coupling
+    # was diagonalized: U/E_half/rho0_vec/W above are ALREADY in the coupling
+    # eigenbasis; lab-basis MTO superops must be conjugated with
+    # rotate_superop(S, task.basis_sop) before use, and collected dynamical
+    # maps rotated back with T^dagger E T.
 
     def k_of(self, t_query):
         """Grid index of time(s) t_query."""
@@ -260,9 +280,23 @@ def simulate(t_start, t_end, *pulses, dt=0.1, phonons=False, t_mem=20.48, ae=3.0
     W = (np.stack([superop.trace_vector(O) for O in spec.output_mats])
          if spec.output_mats else np.zeros((0, d * d))).astype(cdt)
 
+    # non-diagonal boson coupling: the PT was built on the coupling spectrum
+    # (ptmpo.coupling_eigenbasis); conjugate the system side into that
+    # eigenbasis once here — the device kernels stay untouched and the
+    # diagonal-coupling model zoo pays nothing
+    T_basis = None
+    if phonons and getattr(pt, "basis", None) is not None:
+        V = np.asarray(pt.basis)
+        T_basis = _basis_superop(V)
+        U = np.einsum('ij,kjl,lm->kim', V.conj().T, np.asarray(U), V).astype(cdt)
+        E_half = rotate_superop(E_half, T_basis).astype(cdt)
+        rho0_vec = (T_basis @ rho0_vec).astype(cdt)
+        W = (W @ T_basis.conj().T).astype(cdt)
+
     if return_task:
         return Task(dim=d, t=t, dt=dt, U=U, E_half=E_half, has_diss=has_diss,
-                    rho0_vec=rho0_vec, W=W, spec=spec, pt=pt)
+                    rho0_vec=rho0_vec, W=W, spec=spec, pt=pt,
+                    basis_sop=T_basis)
 
     n_mto = len(multitime_op)
     if n_mto:
@@ -276,6 +310,8 @@ def simulate(t_start, t_end, *pulses, dt=0.1, phonons=False, t_mem=20.48, ae=3.0
         ks = np.zeros((0,), dtype=np.int32)
         before = ()
         modes = ()
+    if T_basis is not None and len(sops):
+        sops = np.stack([rotate_superop(S, T_basis) for S in sops])
     mto_sops = sops.astype(cdt)
     mto_ks = ks
 
@@ -299,5 +335,9 @@ def simulate(t_start, t_end, *pulses, dt=0.1, phonons=False, t_mem=20.48, ae=3.0
         result[1 + i] = outputs[:, i]
 
     if calc_dynmap:
-        return result, np.asarray(Es)
+        Es = np.asarray(Es)
+        if T_basis is not None:
+            # dynamical maps back to the lab basis: E_lab = T^dagger E_rot T
+            Es = np.einsum('ij,njk,kl->nil', T_basis.conj().T, Es, T_basis)
+        return result, Es
     return result

@@ -17,7 +17,7 @@ hbar = constants.hbar
 
 
 def darkmodel(t_start, t_end, *pulses, dt=0.5, delta_xd=0, delta_b=4,
-              gamma_e=1 / 100, gamma_b=None, phonons=False, ae=3.0, temperature=4,
+              gamma_e=1 / 100, gamma_b=None, phonons=False, t_mem=20.48, ae=3.0, temperature=4,
               verbose=False, lindblad=False, temp_dir=None, pt_file=None, suffix="",
               multitime_op=None, pulse_file_x=None, pulse_file_y=None,
               prepare_only=False,
@@ -35,7 +35,7 @@ def darkmodel(t_start, t_end, *pulses, dt=0.5, delta_xd=0, delta_b=4,
     interaction_ops = [["|2><0|_4", "x"], ["|3><2|_4", "x"],
                        ["|1><0|_4", "y"], ["|3><1|_4", "y"]]
     return simulate(
-        t_start, t_end, *pulses, dt=dt, phonons=phonons, t_mem=20.48, ae=ae,
+        t_start, t_end, *pulses, dt=dt, phonons=phonons, t_mem=t_mem, ae=ae,
         temperature=temperature, verbose=verbose, temp_dir=temp_dir, pt_file=pt_file,
         suffix=suffix, multitime_op=multitime_op, system_prefix="darkmodel_",
         system_op=system_op, pulse_file_x=pulse_file_x, pulse_file_y=pulse_file_y,
@@ -45,7 +45,8 @@ def darkmodel(t_start, t_end, *pulses, dt=0.5, delta_xd=0, delta_b=4,
 
 
 def darkmodel_new(t_start, t_end, *pulses, dt=0.5, delta_xd=0, delta_b=4,
-                  gamma_e=1 / 100, gamma_b=None, phonons=False, ae=5.0,
+                  gamma_e=1 / 100, gamma_b=None, phonons=False, t_mem=20.48,
+                  ae=5.0,
                   temperature=4, verbose=False, lindblad=False, temp_dir=None,
                   pt_file=None, suffix="", multitime_op=None, pulse_file_x=None,
                   pulse_file_y=None, prepare_only=False, threshold=8,
@@ -65,7 +66,7 @@ def darkmodel_new(t_start, t_end, *pulses, dt=0.5, delta_xd=0, delta_b=4,
     interaction_ops = [["|1><0|_5", "x"], ["|4><1|_5", "x"],
                        ["|3><0|_5", "y"], ["|4><3|_5", "y"]]
     return simulate(
-        t_start, t_end, *pulses, dt=dt, phonons=phonons, t_mem=20.48, ae=ae,
+        t_start, t_end, *pulses, dt=dt, phonons=phonons, t_mem=t_mem, ae=ae,
         temperature=temperature, verbose=verbose, temp_dir=temp_dir, pt_file=pt_file,
         suffix=suffix, multitime_op=multitime_op, system_prefix="darkmodel_new_",
         threshold=str(int(threshold)), system_op=system_op,
@@ -77,7 +78,7 @@ def darkmodel_new(t_start, t_end, *pulses, dt=0.5, delta_xd=0, delta_b=4,
 
 def darkmodel_photons(t_start, t_end, *pulses, dt=0.5, delta_xd=0, delta_b=4,
                       delta_cx=-2, rad_loss=1 / 100, cav_loss=1 / 20,
-                      cav_coupl=1 / 30, phonons=False, ae=3.0, temperature=4,
+                      cav_coupl=1 / 30, phonons=False, t_mem=20.48, ae=3.0, temperature=4,
                       verbose=False, lindblad=False, temp_dir=None, pt_file=None,
                       suffix="", multitime_op=None, pulse_file_x=None,
                       pulse_file_y=None, prepare_only=False,
@@ -100,7 +101,7 @@ def darkmodel_photons(t_start, t_end, *pulses, dt=0.5, delta_xd=0, delta_b=4,
     system_op.append(" {} * (Id_4 otimes n_3)".format(delta_cx))
     system_op.append("{}*(|1><0|_4 otimes b_3 + |3><1|_4 otimes b_3 + |0><1|_4 otimes bdagger_3 + |1><3|_4 otimes bdagger_3)".format(hbar * cav_coupl))
     return simulate(
-        t_start, t_end, *pulses, dt=dt, phonons=phonons, t_mem=20.48, ae=ae,
+        t_start, t_end, *pulses, dt=dt, phonons=phonons, t_mem=t_mem, ae=ae,
         temperature=temperature, verbose=verbose, temp_dir=temp_dir, pt_file=pt_file,
         suffix=suffix, multitime_op=multitime_op, system_prefix="darkmodel_photons",
         system_op=system_op, pulse_file_x=pulse_file_x, pulse_file_y=pulse_file_y,

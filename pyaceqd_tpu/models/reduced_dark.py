@@ -14,7 +14,7 @@ hbar = constants.hbar
 
 
 def darkmodel(t_start, t_end, *pulses, dt=0.5, delta_xd=0, gamma_e=1 / 65,
-              phonons=False, ae=3.0, temperature=4, verbose=False, lindblad=False,
+              phonons=False, t_mem=20.48, ae=3.0, temperature=4, verbose=False, lindblad=False,
               temp_dir=None, pt_file=None, suffix="", multitime_op=None,
               pulse_file_x=None, pulse_file_y=None, prepare_only=False,
               output_ops=("|0><0|_3", "|1><1|_3", "|2><2|_3"),
@@ -28,7 +28,7 @@ def darkmodel(t_start, t_end, *pulses, dt=0.5, delta_xd=0, gamma_e=1 / 65,
         lindblad_ops = [["|0><1|_3", gamma_e]]  # D is dark: no decay
     interaction_ops = [["|2><0|_3", "x"], ["|1><2|_3", "x"], ["|1><0|_3", "y"]]
     return simulate(
-        t_start, t_end, *pulses, dt=dt, phonons=phonons, t_mem=20.48, ae=ae,
+        t_start, t_end, *pulses, dt=dt, phonons=phonons, t_mem=t_mem, ae=ae,
         temperature=temperature, verbose=verbose, temp_dir=temp_dir, pt_file=pt_file,
         suffix=suffix, multitime_op=multitime_op, system_prefix="tls_dark",
         system_op=system_op, pulse_file_x=pulse_file_x, pulse_file_y=pulse_file_y,
@@ -39,7 +39,7 @@ def darkmodel(t_start, t_end, *pulses, dt=0.5, delta_xd=0, gamma_e=1 / 65,
 
 def darkmodel_photons(t_start, t_end, *pulses, dt=0.1, delta_xd=0, delta_cx=-2,
                       rad_loss=1 / 100, cav_loss=1 / 20, cav_coupl=1 / 30,
-                      phonons=False, ae=3.0, temperature=4, verbose=False,
+                      phonons=False, t_mem=20.48, ae=3.0, temperature=4, verbose=False,
                       lindblad=False, temp_dir=None, pt_file=None, suffix="",
                       multitime_op=None, pulse_file_x=None, pulse_file_y=None,
                       prepare_only=False,
@@ -60,7 +60,7 @@ def darkmodel_photons(t_start, t_end, *pulses, dt=0.1, delta_xd=0, delta_cx=-2,
     system_op.append(" {} * (Id_3 otimes n_3)".format(delta_cx))
     system_op.append("{}*(|1><0|_3 otimes b_3 + |0><1|_3 otimes bdagger_3 )".format(hbar * cav_coupl))
     return simulate(
-        t_start, t_end, *pulses, dt=dt, phonons=phonons, t_mem=20.48, ae=ae,
+        t_start, t_end, *pulses, dt=dt, phonons=phonons, t_mem=t_mem, ae=ae,
         temperature=temperature, verbose=verbose, temp_dir=temp_dir, pt_file=pt_file,
         suffix=suffix, multitime_op=multitime_op,
         system_prefix="darkmodel_tls_photons", system_op=system_op,

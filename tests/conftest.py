@@ -17,3 +17,8 @@ os.environ.setdefault("PYACEQD_TPU_PRECISION", "double")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: protocol-scale cross-method gates (minutes on CPU)")
