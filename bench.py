@@ -210,6 +210,13 @@ def main():
     n_areas = 4096
     with profiling.phase("pt_build"):
         spec, pt, n_steps = build_bench_system()   # weight-2 default: chi_max=128
+    import pyaceqd_tpu
+    pt_info = pyaceqd_tpu.last_pt_info() or {}
+    # programmatic accuracy-facts gate (ADVICE r2: assert, don't warn): a
+    # stationary build must sit at residual <= 1e-4; the finite bench build
+    # has no residual, but its diagnostics still ship in the JSON
+    resid = pt_info.get("build_residual")
+    pt_ok = bool(resid is None or resid <= 1e-4)
 
     steps_per_sec, trace_err, _ = run_config(spec, pt, n_steps, n_areas)
     # accuracy gate at the chi=128 headline: trace drift must sit at or below
@@ -233,6 +240,9 @@ def main():
         "baseline_source": "measured: single-thread numpy c128 loop, identical per-step work and shapes",
         "trace_ok": trace_ok,
         "trace_err": trace_err,
+        "pt_ok": pt_ok,
+        "pt": {k: pt_info.get(k) for k in
+               ("engine", "chi", "chi_max", "saturated", "build_residual")},
         "mesh": mesh_block,
         "phases_s": phases,
     }))

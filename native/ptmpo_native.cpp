@@ -22,8 +22,10 @@
 #include <deque>
 #include <utility>
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdio>
+#include <cstdlib>
 #include <dlfcn.h>
 
 using cplx = std::complex<double>;
@@ -78,6 +80,27 @@ extern "C" int pt_init(const char* blas_path) {
 
 static int g_use_rsvd = 0;  // opt-in: ~1.2x faster zip-up but O(1e-5) observable drift
 extern "C" void pt_set_rsvd(int on) { g_use_rsvd = on; }
+
+// Phase profiling for the stationary stepper (PYACEQD_TPU_NATIVE_PROF=1):
+// cumulative seconds per ptinf_step section, dumped by ptinf_prof().
+struct ProfClock {
+  double zip = 0, qr1 = 0, svd = 0, qr2 = 0, emit = 0, lwin = 0, spec = 0;
+  long steps = 0;
+  long max_bond = 0, sum_bond = 0;  // per-iteration max chain bond telemetry
+};
+static bool prof_on() {
+  static int on = -1;
+  if (on < 0) {
+    const char* e = std::getenv("PYACEQD_TPU_NATIVE_PROF");
+    on = (e && e[0] == '1') ? 1 : 0;
+  }
+  return on == 1;
+}
+static double now_s() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
 
 namespace {
 
@@ -425,6 +448,69 @@ struct RecMat {             // recorded kept right basis V (k, n) at a bond
 };
 using RecSet = std::vector<RecMat>;   // indexed by site index; k==0 => absent
 
+// Warm-started randomized subspace SVD of row-major M (m,n): the projection
+// basis is the PREVIOUS ITERATION's kept right basis (rows of warm_v, (k_w,n))
+// plus n_over random oversampling columns that catch rank growth / subspace
+// drift.  Consecutive stationary-build iterations are near-identical maps
+// (locked ranks, aligned gauges), so the warm basis is within O(drift) of the
+// true top row space and zero power iterations suffice — measured 2x over the
+// cold rsvd at darkmodel n_mem=102 shapes (366 x 1098, keep 122).
+void wsvd_rowmajor(std::vector<cplx>& M, int m, int n, const cplx* warm_v,
+                   int k_w, int n_over, std::vector<cplx>& U,
+                   std::vector<double>& S, std::vector<cplx>& Vh) {
+  int kc = std::min(k_w + n_over, std::min(m, n));
+  // P (n, kc): first k_w columns = warm_v^H, rest Gaussian-ish random
+  std::vector<cplx> P(size_t(n) * kc, cplx(0, 0));
+  for (int r = 0; r < k_w; ++r)
+    for (int j = 0; j < n; ++j)
+      P[size_t(j) * kc + r] = std::conj(warm_v[size_t(r) * n + j]);
+  uint64_t stx = 0xd1b54a32d192ed03ull;
+  auto rnd = [&stx]() {
+    stx ^= stx << 13; stx ^= stx >> 7; stx ^= stx << 17;
+    return (double)(stx >> 11) * (1.0 / 9007199254740992.0);
+  };
+  for (int r = k_w; r < kc; ++r)
+    for (int j = 0; j < n; ++j) {
+      double u1 = rnd(), u2 = rnd();
+      double rr = std::sqrt(-2.0 * std::log(u1 + 1e-300));
+      P[size_t(j) * kc + r] = cplx(rr * std::cos(2 * M_PI * u2),
+                                   rr * std::sin(2 * M_PI * u2));
+    }
+  std::vector<cplx> Y(size_t(m) * kc);
+  matmul(M.data(), P.data(), Y.data(), m, n, kc);
+  // one power iteration: sharpens the projected spectrum at the truncation
+  // threshold edge (without it, near-edge singular values ratchet the kept
+  // rank upward across iterations — measured chi 50 -> 57 on the n_mem=12
+  // test bath)
+  std::vector<cplx> Q, Rdisc;
+  int kq = 0;
+  qr_rowmajor(Y, m, kc, Q, Rdisc, kq);
+  std::vector<cplx> Qc(size_t(kq) * m);
+  for (int i = 0; i < m; ++i)
+    for (int c = 0; c < kq; ++c)
+      Qc[size_t(c) * m + i] = std::conj(Q[size_t(i) * kq + c]);
+  std::vector<cplx> Z(size_t(kq) * n);
+  matmul(Qc.data(), M.data(), Z.data(), kq, m, n);
+  std::vector<cplx> Zh(size_t(n) * kq);
+  for (int c = 0; c < kq; ++c)
+    for (int j = 0; j < n; ++j)
+      Zh[size_t(j) * kq + c] = std::conj(Z[size_t(c) * n + j]);
+  Y.assign(size_t(m) * kq, cplx(0, 0));
+  matmul(M.data(), Zh.data(), Y.data(), m, n, kq);
+  qr_rowmajor(Y, m, kq, Q, Rdisc, kq);
+  Qc.resize(size_t(kq) * m);
+  for (int i = 0; i < m; ++i)
+    for (int c = 0; c < kq; ++c)
+      Qc[size_t(c) * m + i] = std::conj(Q[size_t(i) * kq + c]);
+  std::vector<cplx> C(size_t(kq) * n);
+  matmul(Qc.data(), M.data(), C.data(), kq, m, n);
+  std::vector<cplx> Uc;
+  svd_pinned(C, kq, n, Uc, S, Vh);
+  int kk = int(S.size());
+  U.resize(size_t(m) * kk);
+  matmul(Q.data(), Uc.data(), U.data(), m, kq, kk);
+}
+
 // One truncation step shared by both sweeps: SVD (pinned) of M (m,n),
 // threshold/lock rank rule (ptinf._keep_rank), gauge alignment to prev
 // (unitary polar factor of prev V^H), basis recording.  V out (keep,n),
@@ -432,14 +518,26 @@ using RecSet = std::vector<RecMat>;   // indexed by site index; k==0 => absent
 // exceeds the possible kept rank take the deterministic randomized-SVD path
 // (exact small-SVD of the projected matrix; 2 power iterations) — at
 // chi_max=128 weight-2 baths the zip-up rows are chi*D ~ 5x the kept rank
-// and the full zgesdd dominates the whole build.
+// and the full zgesdd dominates the whole build.  warm (the previous
+// iteration's basis at this bond, lag 1) switches to the warm-started
+// subspace path (wsvd_rowmajor) when shape-compatible and cheaper.
 void trunc_step(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
                 int lock, const RecMat* prev, RecMat* rec,
                 std::vector<cplx>& V, std::vector<cplx>& C, int& keep) {
   std::vector<cplx> U, Vh;
   std::vector<double> S;
   int k_target = (lock > 0 ? lock + 16 : chi_max + 32);
-  if (m > 2 * k_target && n > k_target)
+  const int n_over = 24;
+  // warm start ONLY at rank-locked bonds: shapes match by construction
+  // (locks freeze the rank pattern) and the kept rank is forced to the lock,
+  // so the projected spectrum cannot ratchet the truncation decisions —
+  // measured: unlocked warm starts wobbled the attractor (chi 25 -> 48 at
+  // darkmodel n_mem=102) for zero wall-clock gain (shape flicker starved
+  // the path)
+  if (lock > 0 && prev && prev->k > 0 && prev->n == n
+      && prev->k + n_over + 8 < std::min(m, n))
+    wsvd_rowmajor(M, m, n, prev->v.data(), prev->k, n_over, U, S, Vh);
+  else if (m > 2 * k_target && n > k_target)
     rsvd_rowmajor(M, m, n, k_target, U, S, Vh);
   else
     svd_pinned(M, m, n, U, S, Vh);
@@ -480,6 +578,73 @@ void trunc_step(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
   }
 }
 
+// Left-to-right twin of trunc_step: SVD of M (m,n), threshold/lock rank rule,
+// the kept COLUMN basis U (m,keep) stays at the site and the carry
+// C = S.Vh (keep,n) moves right.  Gauge pinned on U columns (max-|.| element
+// real-positive); alignment rotates U within its span toward prev (which
+// stores U^H, rows (keep, m)).  No randomized path: shapes here are
+// (a*G, b<=chi) — the full zgesdd is already the cheap direction.
+void trunc_step_lr(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
+                   int lock, const RecMat* prev, RecMat* rec,
+                   std::vector<cplx>& U_out, std::vector<cplx>& C, int& keep) {
+  std::vector<cplx> U, Vh;
+  std::vector<double> S;
+  svd_rowmajor(M, m, n, U, S, Vh);
+  int k = int(S.size());
+  for (int c = 0; c < k; ++c) {
+    double best = -1.0;
+    cplx piv(1.0, 0.0);
+    for (int i = 0; i < m; ++i) {
+      double a = std::abs(U[size_t(i) * k + c]);
+      if (a > best) { best = a; piv = U[size_t(i) * k + c]; }
+    }
+    cplx ph = (best > 0) ? piv / std::abs(piv) : cplx(1.0, 0.0);
+    cplx phc = std::conj(ph);
+    for (int i = 0; i < m; ++i) U[size_t(i) * k + c] *= phc;
+    for (int j = 0; j < n; ++j) Vh[size_t(c) * n + j] *= ph;
+  }
+  if (lock > 0) {
+    keep = std::max(1, std::min(lock, k));
+  } else {
+    keep = 1;
+    if (k > 0 && S[0] > 0) {
+      keep = 0;
+      for (int c = 0; c < k; ++c)
+        if (S[c] > S[0] * thr) ++keep;
+    }
+    keep = std::max(1, std::min(chi_max, keep));
+  }
+  U_out.resize(size_t(m) * keep);
+  for (int i = 0; i < m; ++i)
+    for (int c = 0; c < keep; ++c)
+      U_out[size_t(i) * keep + c] = U[size_t(i) * k + c];
+  C.resize(size_t(keep) * n);
+  for (int c = 0; c < keep; ++c)
+    for (int j = 0; j < n; ++j)
+      C[size_t(c) * n + j] = S[c] * Vh[size_t(c) * n + j];
+  if (prev && prev->k == keep && prev->n == m) {
+    // O = prev (keep,m) @ U (m,keep); R = polar(O)^H rotates U toward prev:
+    // U <- U R = U P^H, C <- P C (pure gauge: U C invariant)
+    std::vector<cplx> O(size_t(keep) * keep), P;
+    matmul(prev->v.data(), U_out.data(), O.data(), keep, m, keep);
+    if (polar_unitary(O, keep, P)) {
+      std::vector<cplx> Un(size_t(m) * keep), Cn(size_t(keep) * n);
+      matmul_nc(U_out.data(), P.data(), Un.data(), m, keep, keep);
+      matmul(P.data(), C.data(), Cn.data(), keep, keep, n);
+      U_out.swap(Un);
+      C.swap(Cn);
+    }
+  }
+  if (rec) {
+    rec->k = keep;
+    rec->n = m;
+    rec->v.resize(size_t(keep) * m);
+    for (int c = 0; c < keep; ++c)
+      for (int i = 0; i < m; ++i)
+        rec->v[size_t(c) * m + i] = std::conj(U_out[size_t(i) * keep + c]);
+  }
+}
+
 struct PtinfState {
   int G = 0, D = 0, n_bD = 0, w_eff = 0, chi_max = 0, max_period = 0;
   std::vector<cplx> b0;          // (G)
@@ -491,6 +656,7 @@ struct PtinfState {
   std::vector<RecSet> hist1, hist2;            // [phase][site]
   std::vector<std::vector<int>> lock1, lock2;  // [phase][site], 0 = unlocked
   std::deque<std::pair<RecSet, RecSet>> recent;  // pre-detection ring
+  ProfClock prof;
 };
 
 RecMat* rec_at(RecSet& rs, int i) {
@@ -603,23 +769,34 @@ void ptinf_zip_sweep(PtinfState& st, double thr, RecSet* prev, RecSet* rec,
 }
 
 // Aligned/locked right-to-left SVD truncation sweep (ptinf._svd_sweep_rl).
-void ptinf_svd_sweep(PtinfState& st, double thr, RecSet* prev, RecSet* rec,
-                     std::vector<int>* lock) {
-  std::vector<cplx> V, C;
-  for (int i = int(st.chain.size()) - 1; i > 0; --i) {
+// Aligned/locked LEFT-TO-RIGHT exact SVD truncation sweep
+// (ptinf._svd_sweep_lr).  Runs directly on the zip sweep's output: the zip
+// leaves the chain right-canonical with the weight at the leftmost site,
+// which is exactly the gauge an L->R truncation needs for globally exact
+// Schmidt values at every bond (the left part becomes left-canonical as the
+// sweep proceeds).  Ends left-canonical with the weight at the right end —
+// the gauge emit() and the next iteration's zip expect — so the two QR
+// re-canonicalization sweeps of the previous iteration structure
+// (measured 427 s of 1370 s at darkmodel n_mem=102) are unnecessary.
+void ptinf_svd_sweep_lr(PtinfState& st, double thr, RecSet* prev, RecSet* rec,
+                        std::vector<int>* lock) {
+  std::vector<cplx> U, C;
+  const int W = int(st.chain.size());
+  for (int i = 0; i + 1 < W; ++i) {
     Tensor& T = st.chain[i];
     int keep = 0;
-    trunc_step(T.data, T.a, T.g * T.b, thr, st.chi_max, lock_at(lock, i),
-               prev_at(prev, i), rec ? rec_at(*rec, i) : nullptr, V, C, keep);
+    trunc_step_lr(T.data, T.a * T.g, T.b, thr, st.chi_max, lock_at(lock, i),
+                  prev_at(prev, i), rec ? rec_at(*rec, i) : nullptr, U, C,
+                  keep);
     Tensor nt;
-    nt.a = keep; nt.g = T.g; nt.b = T.b;
-    nt.data.assign(V.begin(), V.end());
-    Tensor& L = st.chain[i - 1];
+    nt.a = T.a; nt.g = T.g; nt.b = keep;
+    nt.data.assign(U.begin(), U.end());
+    Tensor& N = st.chain[i + 1];
     Tensor res;
-    res.resize(L.a, L.g, keep);
-    matmul(L.data.data(), C.data(), res.data.data(), L.a * L.g, L.b, keep);
+    res.resize(keep, N.g, N.b);
+    matmul(C.data(), N.data.data(), res.data.data(), keep, N.a, N.g * N.b);
     st.chain[i] = std::move(nt);
-    st.chain[i - 1] = std::move(res);
+    st.chain[i + 1] = std::move(res);
   }
 }
 
@@ -717,6 +894,18 @@ void* ptinf_new(int G, int D, int n_bD, int w_eff, int chi_max, int max_period,
 
 void ptinf_free(void* h) { delete static_cast<PtinfState*>(h); }
 
+// Cumulative per-section seconds (zip, qr1, svd, qr2, emit, lwin, spec), the
+// step count, and bond telemetry, for PYACEQD_TPU_NATIVE_PROF=1 runs.
+// out must hold 10.
+void ptinf_prof(void* h, double* out) {
+  const ProfClock& p = static_cast<PtinfState*>(h)->prof;
+  out[0] = p.zip; out[1] = p.qr1; out[2] = p.svd; out[3] = p.qr2;
+  out[4] = p.emit; out[5] = p.lwin; out[6] = p.spec;
+  out[7] = double(p.steps);
+  out[8] = double(p.max_bond);
+  out[9] = p.steps > 0 ? double(p.sum_bond) / double(p.steps) : 0.0;
+}
+
 // One build iteration (the body of the Python while-loop in
 // build_stationary_pt): fused zip sweep (thr*0.1) -> QR -> SVD sweep (thr)
 // -> QR; emit when the window is overfull; record bases.  Returns 1 when a
@@ -726,15 +915,30 @@ int ptinf_step(void* h, double thr, cplx* q_out, int* q_dims,
                double* spec_out, int* spec_len, cplx* lwin_out,
                int* lwin_dims, int chi_pad) {
   PtinfState& st = *static_cast<PtinfState*>(h);
+  const bool pf = prof_on();
+  double t0 = pf ? now_s() : 0, t1 = 0;
+  auto tick = [&](double& acc) {
+    if (!pf) return;
+    t1 = now_s();
+    acc += t1 - t0;
+    t0 = t1;
+  };
   const int ph = st.period > 0 ? int(st.emitted % st.period) : 0;
   const bool use_prev = st.period > 0;
   RecSet rec1, rec2;
   ptinf_zip_sweep(st, thr * 0.1, use_prev ? &st.hist1[ph] : nullptr, &rec1,
                   use_prev ? &st.lock1[ph] : nullptr);
-  qr_sweep_lr(st.chain, 0);
-  ptinf_svd_sweep(st, thr, use_prev ? &st.hist2[ph] : nullptr, &rec2,
-                  use_prev ? &st.lock2[ph] : nullptr);
-  qr_sweep_lr(st.chain, 0);
+  tick(st.prof.zip);
+  ptinf_svd_sweep_lr(st, thr, use_prev ? &st.hist2[ph] : nullptr, &rec2,
+                     use_prev ? &st.lock2[ph] : nullptr);
+  tick(st.prof.svd);
+  st.prof.steps += 1;
+  if (pf) {
+    long mb = 0;
+    for (const Tensor& t : st.chain) mb = std::max<long>(mb, t.a);
+    st.prof.max_bond = std::max(st.prof.max_bond, mb);
+    st.prof.sum_bond += mb;
+  }
   if (int(st.chain.size()) <= st.w_eff) return 0;
   Tensor Q = emit(st.chain);
   // strip the accumulated window norm (pure global scale; emissions are QR
@@ -760,11 +964,13 @@ int ptinf_step(void* h, double thr, cplx* q_out, int* q_dims,
     for (int g = 0; g < st.G; ++g)
       std::memcpy(q_out + (size_t(l) * st.G + g) * chi_pad, &Q.at(l, g, 0),
                   sizeof(cplx) * Q.b);
+  tick(st.prof.emit);
   // window Schmidt left-factor + its spectrum (the gauge-invariant
   // stationarity signal and the weighted-drift error metric)
   std::vector<cplx> L;
   int la = 0, lk = 0;
   ptinf_lwin(st, L, la, lk);
+  tick(st.prof.lwin);
   if (la > chi_pad || lk > chi_pad) return -1;
   lwin_dims[0] = la;
   lwin_dims[1] = lk;
@@ -774,6 +980,7 @@ int ptinf_step(void* h, double thr, cplx* q_out, int* q_dims,
   std::vector<cplx> Lc = L, U, Vh;
   std::vector<double> S;
   svd_rowmajor(Lc, la, lk, U, S, Vh);
+  tick(st.prof.spec);
   int ns = std::min<int>(int(S.size()), chi_pad);
   *spec_len = ns;
   double s0 = (ns > 0 && S[0] > 0) ? S[0] : 1.0;

@@ -84,7 +84,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from pyaceqd_tpu.engine.ptmpo import (
-    _apply_layer, _qr_sweep_lr, _emit, influence_factors, sector_scales,
+    _apply_layer, _emit, influence_factors, sector_scales,
     ProcessTensor)
 
 
@@ -137,30 +137,42 @@ def _keep_rank(S, thr, chi_max, lock, i):
     return max(1, min(chi_max, keep))
 
 
-def _svd_sweep_rl(chain, thr, chi_max, prev=None, rec=None, lock=None):
-    """Right-to-left zip-up truncation (SVD gauge pinned).
+def _svd_sweep_lr(chain, thr, chi_max, prev=None, rec=None, lock=None):
+    """Left-to-right exact truncation sweep (SVD gauge pinned on U columns).
 
-    prev/rec: optional per-bond dicts of kept right-bases for gauge
-    alignment across iterations — when ``prev[i]`` has the same shape as the
-    fresh basis, the fresh basis is rotated inside its own span by the
-    unitary polar factor of ``prev V^H`` so it varies continuously between
-    iterations (rotations within the kept subspace are pure gauge).
-    lock: optional per-bond rank locks (see _keep_rank)."""
-    for i in range(len(chain) - 1, 0, -1):
+    Runs directly on the zip sweep's output: the zip leaves the chain
+    right-canonical with the weight at the leftmost site, which is exactly
+    the gauge an L->R truncation needs for globally exact Schmidt values at
+    every bond; it ends left-canonical with the weight at the right end (the
+    gauge _emit and the next iteration's zip expect), so no QR
+    re-canonicalization sweeps are needed between the two truncation sweeps
+    (they were 31% of the darkmodel n_mem=102 build, measured).
+
+    prev/rec: optional per-bond dicts of kept LEFT bases (stored as U^H,
+    rows (keep, a*g)) for gauge alignment across iterations; lock: per-bond
+    rank locks (see _keep_rank)."""
+    for i in range(len(chain) - 1):
         a, g, b = chain[i].shape
-        U, S, Vh = _svd_pinned(chain[i].reshape(a, g * b))
+        U, S, Vh = np.linalg.svd(chain[i].reshape(a * g, b),
+                                 full_matrices=False)
+        # pin U columns: max-|.| element real-positive (Vh rows co-rotated)
+        idx = np.argmax(np.abs(U), axis=0)
+        ph = U[idx, np.arange(len(idx))]
+        ph = np.where(np.abs(ph) > 0, ph / np.abs(ph), 1.0)
+        U = U * np.conj(ph)[None, :]
+        Vh = Vh * ph[:, None]
         keep = _keep_rank(S, thr, chi_max, lock, i)
-        V = Vh[:keep]
-        C = U[:, :keep] * S[:keep]
-        if prev is not None and i in prev and prev[i].shape == V.shape:
-            P = _polar_unitary(prev[i] @ V.conj().T)
+        Uk = U[:, :keep]
+        C = S[:keep, None] * Vh[:keep]
+        if prev is not None and i in prev and prev[i].shape == (keep, a * g):
+            P = _polar_unitary(prev[i] @ Uk)
             if P is not None:
-                V = P @ V
-                C = C @ P.conj().T
+                Uk = Uk @ P.conj().T
+                C = P @ C
         if rec is not None:
-            rec[i] = V
-        chain[i] = V.reshape(keep, g, b)
-        chain[i - 1] = np.einsum('agb,bc->agc', chain[i - 1], C)
+            rec[i] = Uk.conj().T
+        chain[i] = Uk.reshape(a, g, keep)
+        chain[i + 1] = np.einsum('kb,bgc->kgc', C, chain[i + 1])
     return chain
 
 
@@ -169,7 +181,7 @@ def _zip_layer_sweep(chain, b0, bD, d_of_g, w_eff, thr, chi_max,
     """Fused ptmpo._apply_layer + right-to-left zip-up truncation.
 
     Mathematically identical to
-    ``_svd_sweep_rl(_apply_layer(chain, ...), thr, chi_max, prev, rec)`` but
+    a right-to-left truncation sweep of ``_apply_layer(chain, ...)`` but
     never materializes the block-diagonal bond-expanded site tensors
     ((chi D, G, chi D) zero-padded arrays): the expanded site is contracted
     with the already-truncated carry C from the right on the fly, so the
@@ -317,10 +329,12 @@ class _PyStepper:
     """One build iteration of the stationary zip-up in pure numpy.
 
     Contract (shared with native.NativePtinfStepper): ``step(thr)`` applies a
-    new influence layer with zip-up truncation (thr*0.1), re-canonicalizes,
-    SVD-truncates at thr, re-canonicalizes; returns None while the window is
-    still filling, else ``(Q, schmidt_spectrum, L_win)`` for the emitted
-    tensor.  ``seed(period)`` locks per-bond ranks and seeds gauge-alignment
+    new influence layer with right-to-left zip-up truncation (thr*0.1,
+    leaving the chain right-canonical, weight at the left edge), then an
+    exact left-to-right SVD truncation at thr (leaving it left-canonical,
+    weight at the right end — the gauges chain, so no QR re-canonicalization
+    sweeps are needed); returns None while the window is still filling, else
+    ``(Q, schmidt_spectrum, L_win)`` for the emitted tensor.  ``seed(period)`` locks per-bond ranks and seeds gauge-alignment
     targets from the last ``period`` pre-detection emissions; ``double()``
     doubles the elementwise period (re-keying the phase tables)."""
 
@@ -343,12 +357,10 @@ class _PyStepper:
                               prev=self.hist1[ph] if use_prev else None,
                               rec=rec1,
                               lock=self.lock1[ph] if use_prev else None)
-        ch = _qr_sweep_lr(ch, start=0)
-        ch = _svd_sweep_rl(ch, thr, self.chi_max,
-                           prev=self.hist2[ph] if use_prev else None,
-                           rec=rec2,
-                           lock=self.lock2[ph] if use_prev else None)
-        self.chain = _qr_sweep_lr(ch, start=0)
+        self.chain = _svd_sweep_lr(ch, thr, self.chi_max,
+                                   prev=self.hist2[ph] if use_prev else None,
+                                   rec=rec2,
+                                   lock=self.lock2[ph] if use_prev else None)
         if len(self.chain) <= self.w_eff:
             return None
         Q, self.chain = _emit(self.chain)
@@ -592,6 +604,11 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
                 else:
                     stall_ref = drift
                 since_check = 0
+    import os as _os
+    if (_os.environ.get("PYACEQD_TPU_NATIVE_PROF") == "1"
+            and hasattr(stepper, "prof")):
+        print("[ptinf prof]", {k: (round(v, 2) if isinstance(v, float) else v)
+                               for k, v in stepper.prof().items()})
     # acceptance ladder: clean convergence at steady_tol; a stall in
     # (steady_tol, 1e-4] is accepted with a warning — the cycle-junction
     # observable error tracks ~10x the residual (measured: force-accepted

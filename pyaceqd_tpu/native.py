@@ -93,6 +93,8 @@ def get_lib(auto_build=True):
     lib.ptinf_double.argtypes = [ctypes.c_void_p]
     lib.ptinf_free.restype = None
     lib.ptinf_free.argtypes = [ctypes.c_void_p]
+    lib.ptinf_prof.restype = None
+    lib.ptinf_prof.argtypes = [ctypes.c_void_p, f64]
     _LIB = lib
     return _LIB
 
@@ -144,6 +146,14 @@ class NativePtinfStepper:
 
     def seed(self, period):
         self._lib.ptinf_seed(self._h, int(period))
+
+    def prof(self):
+        """Per-section cumulative seconds (PYACEQD_TPU_NATIVE_PROF=1 runs)."""
+        buf = np.zeros(10, dtype=np.float64)
+        self._lib.ptinf_prof(self._h, buf)
+        keys = ("zip", "qr1", "svd", "qr2", "emit", "lwin", "spec", "steps",
+                "max_bond", "avg_bond")
+        return dict(zip(keys, buf.tolist()))
 
     def double(self):
         self._lib.ptinf_double(self._h)

@@ -1,0 +1,77 @@
+"""Threshold-convergence anchor for flagship example 06 (VERDICT r2 item 1b).
+
+Runs the exact tb=800 dark-exciton-storage time-bin protocol of
+examples/06_timebin_phonons_tb800.py at a sweep of stationary-PT build
+thresholds (and chi caps) and reports the concurrence / density-matrix
+deltas.  The flagship number is anchored when the concurrence moves < 1e-2
+between adjacent rows.
+
+Usage:  python scripts/flagship06_convergence.py [threshold ...]
+        (default rows: 8 9; each row is 10^-thr on the stationary build)
+
+Each row builds its own stationary PT (cached per threshold under
+examples/.cache) and runs the full (t1, t2) fan-out on the attached chip,
+so expect ~10 min/row warm, ~40 min/row cold.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from pyaceqd_tpu.models.dark_model import darkmodel
+from pyaceqd_tpu.pulses import Pulse
+from pyaceqd_tpu.timebin import TwoPhotonTimebinNew
+
+tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "examples", ".cache")
+os.makedirs(tmp, exist_ok=True)
+
+TB = 800.0
+DT = 0.2
+GAMMA = 1 / 100
+
+
+def run_row(threshold, chi_max=None):
+    p1 = Pulse(tau=3.0, e_start=0, e0=0.5, t0=12, polar_x=1)
+    p2 = Pulse(tau=3.0, e_start=0, e0=1.0, t0=12 + TB, polar_x=1)
+    opts = {"verbose": True, "delta_xd": 4, "delta_b": 4, "gamma_e": GAMMA,
+            "gamma_b": GAMMA, "lindblad": True, "phonons": True, "ae": 3.0,
+            "temperature": 4.0, "use_infinite": True, "initial": "|2><2|_4",
+            "threshold": threshold, "temp_dir": tmp}
+    if chi_max is not None:
+        opts["chi_max"] = chi_max
+    t0 = time.time()
+    tpb = TwoPhotonTimebinNew(darkmodel, "|0><1|_4", "|1><0|_4", "|1><3|_4",
+                              "|3><1|_4", p1, p2, dt=DT, dim=4, tb=TB,
+                              gaussian_t=24, options=opts)
+    conc, dm = tpb.calc_densitymatrix(reduced=True, use_second_zero=True)
+    dm = dm / np.trace(dm).real
+    import pyaceqd_tpu
+    info = pyaceqd_tpu.last_pt_info()
+    print("[row thr=%s chi_max=%s] concurrence=%.4f  wall=%.0fs  %s"
+          % (threshold, chi_max, conc, time.time() - t0,
+             pyaceqd_tpu.format_pt_info(info)), flush=True)
+    return conc, dm, info
+
+
+def main():
+    rows = [float(a) for a in sys.argv[1:]] or [8, 9]
+    res = {}
+    for thr in rows:
+        res[thr] = run_row(thr)
+    base_thr = rows[0]
+    conc0, dm0, _ = res[base_thr]
+    print("\n=== convergence table (base thr=%g) ===" % base_thr)
+    for thr in rows[1:]:
+        conc, dm, _ = res[thr]
+        print("thr %g -> %g: d_concurrence = %.2e, max|d_dm| = %.2e"
+              % (base_thr, thr, abs(conc - conc0), np.max(np.abs(dm - dm0))),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

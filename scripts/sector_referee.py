@@ -14,6 +14,12 @@ chi=13); sector_norm=True rebuilds on the group-boosted functional and must
 push that below 1e-2 at comparable chi.
 
 Usage: JAX_PLATFORMS=cpu python scripts/sector_referee.py [n_mem] [chi_max]
+       JAX_PLATFORMS=cpu python scripts/sector_referee.py [n_mem] [chi_max] --stationary
+The --stationary mode runs the SAME exact-kernel check against the stationary
+(infinite) engine: build_stationary_pt on the onsite-tail eta, identity system
+propagator, all-coherence initial state, n = n_init + 3 periods of steps.
+This is the chi~25 regime where NOTES_round2 measured the 0.1125
+relative-threshold floor on the Delta=2 sector.
 """
 
 import os
@@ -90,7 +96,58 @@ def run(n_mem, chi_max, threshold=1e-8, n_extra=8):
     return rows
 
 
+def run_stationary(n_mem, chi_max, threshold=1e-8, n_extra=24):
+    """Same exact-kernel referee against the STATIONARY engine (ptinf).
+
+    Uses the onsite-tail eta the stationary builder requires; the exact
+    dephasing expression consumes the identical eta, so the comparison stays
+    kernel-exact.  n = n_init + n_extra covers several bulk cycles."""
+    from pyaceqd_tpu.engine import ptinf
+    d = 4
+    B = np.diag([0.0, 1.0, 1.0, 2.0])
+    g_of_s, nu, mu = ptmpo.liouville_groups(B)
+    J = spectral.QDPhononJ(ae=AE)
+    eta = spectral.eta_coefficients(J, DT, n_mem, TEMP, absorb_tail="onsite")
+
+    rho0 = np.full((d, d), 1.0 / d, dtype=complex)
+    W = np.eye(d * d, dtype=complex)
+    mto = np.zeros((0, d * d, d * d))
+    mks = np.zeros((0,), np.int32)
+
+    rows = {}
+    for tag, sn in (("plain", False), ("sector_norm", True)):
+        t0 = time.time()
+        pt = ptinf.build_stationary_pt(eta, g_of_s, nu, mu, np.zeros((d, d)),
+                                       threshold=threshold, chi_max=chi_max,
+                                       sector_norm=sn, verbose=True)
+        t_build = time.time() - t0
+        n = pt.n_init + n_extra
+        U = np.broadcast_to(np.eye(d), (n, d, d)).copy()
+        out, _ = ptinf.propagate_ptinf(pt, U, None, rho0.reshape(-1), W,
+                                       mto, mks)
+        out = np.asarray(out)
+        errs = {}
+        for s in range(d * d):
+            g = g_of_s[s]
+            exact = rho0.reshape(-1)[s] * \
+                exact_sector_dephasing(eta, n_mem, n, nu[g], mu[g])
+            err = np.max(np.abs(out[1:, s] - exact))
+            key = abs(round(nu[g] - mu[g], 6))
+            errs[key] = max(errs.get(key, 0.0), err)
+        rows[tag] = dict(chi=pt.chi, period=pt.period,
+                        residual=float(f"{pt.build_residual:.3e}"),
+                        build_s=round(t_build, 1),
+                        err_by_dnu={k: float(f"{v:.3e}") for k, v in
+                                    sorted(errs.items())})
+        print(tag, rows[tag], flush=True)
+    return rows
+
+
 if __name__ == "__main__":
-    n_mem = int(sys.argv[1]) if len(sys.argv) > 1 else 102
-    chi_max = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    run(n_mem, chi_max)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_mem = int(args[0]) if len(args) > 0 else 102
+    chi_max = int(args[1]) if len(args) > 1 else 128
+    if "--stationary" in sys.argv:
+        run_stationary(n_mem, chi_max)
+    else:
+        run(n_mem, chi_max)

@@ -153,6 +153,12 @@ def main():
         trace = np.real(res[1] + res[2])
         assert np.max(np.abs(trace - 1.0)) < 2e-3
         assert abs(x[-1] - np.exp(-2)) < 5e-3
+        # accuracy facts are asserted, not warned (ADVICE r2): a stationary
+        # build that stalled above 1e-4 must fail the smoke, not just warn
+        import pyaceqd_tpu
+        info = pyaceqd_tpu.last_pt_info()
+        assert info and info["engine"] == "stationary", info
+        assert info["build_residual"] <= 1e-4, info
     check("stationary PT 800ps horizon", t_stationary_long)
 
     def t_timebin_phonons():
