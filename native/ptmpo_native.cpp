@@ -87,7 +87,10 @@ struct ProfClock {
   double zip = 0, qr1 = 0, svd = 0, qr2 = 0, emit = 0, lwin = 0, spec = 0;
   long steps = 0;
   long max_bond = 0, sum_bond = 0;  // per-iteration max chain bond telemetry
+  double w_s = 0, r_s = 0, x_s = 0;  // per-truncation-path seconds
+  long w_n = 0, r_n = 0, x_n = 0;    // ... and call counts (warm/rand/exact)
 };
+static ProfClock* g_prof = nullptr;  // set by ptinf_step while profiling
 static bool prof_on() {
   static int on = -1;
   if (on < 0) {
@@ -173,6 +176,10 @@ void qr_rowmajor(std::vector<cplx>& M, int m, int n,
 int svd_rowmajor(std::vector<cplx>& M, int m, int n, std::vector<cplx>& U,
                  std::vector<double>& S, std::vector<cplx>& Vh) {
   int k = std::min(m, n);
+  // (An explicit QR/LQ pre-reduction of lopsided inputs was tried and
+  // MEASURED SLOWER in-loop: zgesdd already reduces internally at aspect
+  // >= 1.6 with better constants than qr_rowmajor's zgelqf+zunglq pair —
+  // the darkmodel n_mem=102 build regressed 983 s -> 1360 s.)
   int cm_m = n, cm_n = m, lda = n, info = 0, lwork = -1;
   S.resize(k);
   std::vector<cplx> Up(size_t(n) * k);   // U' (n,k) col-major
@@ -534,13 +541,18 @@ void trunc_step(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
   // measured: unlocked warm starts wobbled the attractor (chi 25 -> 48 at
   // darkmodel n_mem=102) for zero wall-clock gain (shape flicker starved
   // the path)
+  double tp0 = g_prof ? now_s() : 0;
   if (lock > 0 && prev && prev->k > 0 && prev->n == n
-      && prev->k + n_over + 8 < std::min(m, n))
+      && prev->k + n_over + 8 < std::min(m, n)) {
     wsvd_rowmajor(M, m, n, prev->v.data(), prev->k, n_over, U, S, Vh);
-  else if (m > 2 * k_target && n > k_target)
+    if (g_prof) { g_prof->w_s += now_s() - tp0; g_prof->w_n += 1; }
+  } else if (m > 2 * k_target && n > k_target) {
     rsvd_rowmajor(M, m, n, k_target, U, S, Vh);
-  else
+    if (g_prof) { g_prof->r_s += now_s() - tp0; g_prof->r_n += 1; }
+  } else {
     svd_pinned(M, m, n, U, S, Vh);
+    if (g_prof) { g_prof->x_s += now_s() - tp0; g_prof->x_n += 1; }
+  }
   int k = int(S.size());
   if (lock > 0) {
     keep = std::max(1, std::min(lock, k));
@@ -589,7 +601,9 @@ void trunc_step_lr(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
                    std::vector<cplx>& U_out, std::vector<cplx>& C, int& keep) {
   std::vector<cplx> U, Vh;
   std::vector<double> S;
+  double tp0 = g_prof ? now_s() : 0;
   svd_rowmajor(M, m, n, U, S, Vh);
+  if (g_prof) { g_prof->x_s += now_s() - tp0; g_prof->x_n += 1; }
   int k = int(S.size());
   for (int c = 0; c < k; ++c) {
     double best = -1.0;
@@ -895,8 +909,8 @@ void* ptinf_new(int G, int D, int n_bD, int w_eff, int chi_max, int max_period,
 void ptinf_free(void* h) { delete static_cast<PtinfState*>(h); }
 
 // Cumulative per-section seconds (zip, qr1, svd, qr2, emit, lwin, spec), the
-// step count, and bond telemetry, for PYACEQD_TPU_NATIVE_PROF=1 runs.
-// out must hold 10.
+// step count, bond telemetry, and per-truncation-path seconds/counts
+// (warm/rand/exact), for PYACEQD_TPU_NATIVE_PROF=1 runs.  out must hold 16.
 void ptinf_prof(void* h, double* out) {
   const ProfClock& p = static_cast<PtinfState*>(h)->prof;
   out[0] = p.zip; out[1] = p.qr1; out[2] = p.svd; out[3] = p.qr2;
@@ -904,6 +918,9 @@ void ptinf_prof(void* h, double* out) {
   out[7] = double(p.steps);
   out[8] = double(p.max_bond);
   out[9] = p.steps > 0 ? double(p.sum_bond) / double(p.steps) : 0.0;
+  out[10] = p.w_s; out[11] = double(p.w_n);
+  out[12] = p.r_s; out[13] = double(p.r_n);
+  out[14] = p.x_s; out[15] = double(p.x_n);
 }
 
 // One build iteration (the body of the Python while-loop in
@@ -916,6 +933,7 @@ int ptinf_step(void* h, double thr, cplx* q_out, int* q_dims,
                int* lwin_dims, int chi_pad) {
   PtinfState& st = *static_cast<PtinfState*>(h);
   const bool pf = prof_on();
+  g_prof = pf ? &st.prof : nullptr;
   double t0 = pf ? now_s() : 0, t1 = 0;
   auto tick = [&](double& acc) {
     if (!pf) return;

@@ -149,10 +149,11 @@ class NativePtinfStepper:
 
     def prof(self):
         """Per-section cumulative seconds (PYACEQD_TPU_NATIVE_PROF=1 runs)."""
-        buf = np.zeros(10, dtype=np.float64)
+        buf = np.zeros(16, dtype=np.float64)
         self._lib.ptinf_prof(self._h, buf)
         keys = ("zip", "qr1", "svd", "qr2", "emit", "lwin", "spec", "steps",
-                "max_bond", "avg_bond")
+                "max_bond", "avg_bond", "warm_s", "warm_n", "rand_s",
+                "rand_n", "exact_s", "exact_n")
         return dict(zip(keys, buf.tolist()))
 
     def double(self):
