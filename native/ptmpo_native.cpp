@@ -168,6 +168,32 @@ void qr_rowmajor(std::vector<cplx>& M, int m, int n,
   }
 }
 
+// Thin LQ of row-major M (m,n): M = L Qr with L (m,kr) lower-ish and
+// Qr (kr,n) having orthonormal ROWS (Qr Qr^H = I), kr = min(m,n).  Built on
+// qr_rowmajor via the conjugate-transpose duality M^H = Q~ R~  =>
+// M = R~^H Q~^H.  This is the cheap exact replacement for a full SVD at a
+// right-canonicalization step where only the gauge (not the spectrum) is
+// needed: canonical forms are unique up to a bond unitary, and every
+// consumer of the result (window Schmidt spectrum, weighted drift norms) is
+// invariant under that unitary.
+void lq_rowmajor(const std::vector<cplx>& M, int m, int n,
+                 std::vector<cplx>& L, std::vector<cplx>& Qr, int& kr) {
+  std::vector<cplx> Mh(size_t(n) * m);
+  for (int i = 0; i < m; ++i)
+    for (int j = 0; j < n; ++j)
+      Mh[size_t(j) * m + i] = std::conj(M[size_t(i) * n + j]);
+  std::vector<cplx> Qt, Rt;
+  qr_rowmajor(Mh, n, m, Qt, Rt, kr);   // Mh = Qt (n,kr) Rt (kr,m)
+  L.resize(size_t(m) * kr);
+  for (int i = 0; i < m; ++i)
+    for (int c = 0; c < kr; ++c)
+      L[size_t(i) * kr + c] = std::conj(Rt[size_t(c) * m + i]);
+  Qr.resize(size_t(kr) * n);
+  for (int c = 0; c < kr; ++c)
+    for (int j = 0; j < n; ++j)
+      Qr[size_t(c) * n + j] = std::conj(Qt[size_t(j) * kr + c]);
+}
+
 // SVD of row-major M (m,n): returns U (m,k) row-major, S (k), Vh (k,n)
 // row-major, k = min(m,n).  Uses the transpose duality:
 // svd(M^T) = U' S V'h  =>  U_M = V'h^T, Vh_M = U'^T.
@@ -815,36 +841,36 @@ void ptinf_svd_sweep_lr(PtinfState& st, double thr, RecSet* prev, RecSet* rec,
 }
 
 // Window Schmidt left-factor via right-canonicalization of a chain copy
-// (ptinf._right_canonicalize): returns L (a0, k0).
+// (ptinf._right_canonicalize): returns L (a0, k0).  Uses LQ, not SVD: every
+// consumer of L (window Schmidt spectrum = its singular values, weighted
+// drift Frobenius norms, |L^T v| eigenvector weights) depends only on the
+// Gram matrix L L^H, which any exact factorization M = L Q with Q Q^H = I
+// reproduces bit-for-math (L L^H = M M^H).  LQ is ~10x cheaper than ZGESDD
+// at these shapes.
 void ptinf_lwin(const PtinfState& st, std::vector<cplx>& L, int& la, int& lk) {
   std::vector<Tensor> ch = st.chain;
-  std::vector<cplx> U, Vh;
-  std::vector<double> S;
+  std::vector<cplx> Lf, Qr;
   la = lk = 0;
   for (int i = int(ch.size()) - 1; i >= 0; --i) {
     Tensor& T = ch[i];
-    svd_pinned(T.data, T.a, T.g * T.b, U, S, Vh);
-    int k = int(S.size());
+    int kr = 0;
+    lq_rowmajor(T.data, T.a, T.g * T.b, Lf, Qr, kr);
     if (i > 0) {
       Tensor nt;
-      nt.a = k; nt.g = T.g; nt.b = T.b;
-      nt.data = Vh;
-      // absorb U*S into the left neighbour
-      std::vector<cplx> US(size_t(T.a) * k);
-      for (int r = 0; r < T.a; ++r)
-        for (int c = 0; c < k; ++c) US[size_t(r) * k + c] = U[size_t(r) * k + c] * S[c];
+      nt.a = kr; nt.g = T.g; nt.b = T.b;
+      nt.data = Qr;
+      // absorb the left factor into the left neighbour
       Tensor& Lt = ch[i - 1];
       Tensor res;
-      res.resize(Lt.a, Lt.g, k);
-      matmul(Lt.data.data(), US.data(), res.data.data(), Lt.a * Lt.g, Lt.b, k);
+      res.resize(Lt.a, Lt.g, kr);
+      matmul(Lt.data.data(), Lf.data(), res.data.data(), Lt.a * Lt.g, Lt.b,
+             kr);
       ch[i] = std::move(nt);
       ch[i - 1] = std::move(res);
     } else {
       la = T.a;
-      lk = k;
-      L.resize(size_t(la) * lk);
-      for (int r = 0; r < la; ++r)
-        for (int c = 0; c < k; ++c) L[size_t(r) * lk + c] = U[size_t(r) * k + c] * S[c];
+      lk = kr;
+      L = Lf;
     }
   }
 }
