@@ -279,9 +279,10 @@ class StationaryPT:
     g_of_s: np.ndarray        # (d^2,) int32
     counter_term: np.ndarray  # polaron-shift counter Hamiltonian [meV]
     chi: int
-    n_mem: int
+    n_mem: int                # BUILD window (after auto reduction)
     build_residual: float = 0.0   # final elementwise lag-P emission drift
     basis: np.ndarray = None      # V (d, d) when the coupling was diagonalized
+    n_mem_req: int = 0            # requested window before auto reduction
 
     @property
     def n_init(self):
@@ -422,6 +423,69 @@ def _make_stepper(b0, bD, d_of_g, w_eff, chi_max, max_period, backend=None):
 
 
 # ---------------------------------------------------------------------------
+# automatic window reduction
+# ---------------------------------------------------------------------------
+
+def _window_error(eta, nu, mu, m, horizon=None):
+    """Exact worst-case constant-path error of replacing the kernel eta
+    (length n_mem) by eta[:m] with the dropped tail folded onsite
+    (eta'_0 = eta_0 + sum_{d>=m} eta_d).
+
+    For a path constant in Liouville group g the influence functional is
+    exactly exp(-G_n) with G_n = n A(eta_0) + sum_d (n-d) A(eta_d),
+    A(e) = (nu-mu)(e nu - e* mu).  Because A is linear and the tail sum is
+    moved into eta_0, the exponent difference settles to the CONSTANT
+    Delta G = sum_{d=m}^{n_mem-1} d A(eta_d) for n >= n_mem — the reduction
+    never accumulates with horizon, so a horizon of n_mem + a few steps
+    captures the maximum.  Returns max over groups and steps of
+    |exp(-G_n) - exp(-G'_n)|."""
+    n_mem = len(eta)
+    if horizon is None:
+        horizon = n_mem + 8
+    T = np.sum(eta[m:])
+    ns = np.arange(1, horizon + 1)[:, None]                    # (n, 1)
+    ds = np.arange(1, n_mem)[None, :]                          # (1, d)
+    wt_full = np.clip(ns - ds, 0, None) * (ds < np.minimum(ns, n_mem))
+    worst = 0.0
+    for g in range(len(nu)):
+        dnu = nu[g] - mu[g]
+        if dnu == 0:
+            continue
+        A = lambda e: dnu * (e * nu[g] - np.conj(e) * mu[g])
+        G_full = ns[:, 0] * A(eta[0]) + wt_full @ A(eta[1:])
+        G_red = (ns[:, 0] * A(eta[0] + T)
+                 + wt_full[:, :m - 1] @ A(eta[1:m]))
+        worst = max(worst, float(np.max(np.abs(np.exp(-G_full)
+                                               - np.exp(-G_red)))))
+    return worst
+
+
+def _reduce_window(eta, nu, mu, tol, floor=4):
+    """Smallest m (>= floor) whose onsite-reabsorbed kernel reproduces the
+    exact constant-path sector decay of the full kernel to < tol (see
+    _window_error).  Returns (eta_reduced, m); (eta, n_mem) if no reduction
+    passes.  The scan is from small m up; the error is not monotonic in m
+    (the dropped tail oscillates and partially cancels), which is fine —
+    the chosen m is verified directly.
+
+    Rationale (measured, QD superohmic bath ae=3 dt=0.2): the physical
+    kernel decays in ~6.5 ps but |eta_d| plateaus at ~3e-7 |eta_0| (the
+    algebraic finite-T tail), so an |eta|-based window cut (eta_cut) cannot
+    shrink the window below the requested t_mem — while the EXACT metric
+    shows m=32 reproduces the n_mem=102 kernel to 4.2e-7.  Build cost is
+    ~quadratic in the window (darkmodel n_mem=102 chi=128: 1156 s -> ~2 min
+    at m=32), which is what makes reference-scale t_mem=20.48 ps baths
+    affordable (VERDICT r2 item 4)."""
+    n_mem = len(eta)
+    for m in range(floor, n_mem):
+        if _window_error(eta, nu, mu, m) < tol:
+            eta_red = eta[:m].copy()
+            eta_red[0] += np.sum(eta[m:])
+            return eta_red, m
+    return eta, n_mem
+
+
+# ---------------------------------------------------------------------------
 # builder
 # ---------------------------------------------------------------------------
 
@@ -429,7 +493,7 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
                         chi_max=64, eta_cut=1e-10, steady_tol=None,
                         steady_runs=3, max_period=4, max_iter_factor=24,
                         align_budget=100, verbose=False, backend=None,
-                        sector_norm=False):
+                        sector_norm=False, window_tol="auto"):
     """Find the stationary PT {init, bulk cycle, caps} for the bath described
     by the QUAPI coefficients eta (len n_mem) and coupling groups (nu, mu).
 
@@ -458,7 +522,21 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
     The last P emissions are the bulk cycle; everything before is the init
     segment.  Raises RuntimeError if no period converges within the budget
     (e.g. for the 'last'-cell tail-absorbed kernel — see module docstring).
+
+    window_tol: tolerance for the automatic exact-metric window reduction
+    (_reduce_window) — "auto" ties it to the truncation threshold
+    (100*threshold, the same constant as the steady-detection floor), a
+    float sets it directly, and 0/None disables the reduction (full
+    requested window, bit-compatible with the pre-reduction builder).
     """
+    n_mem_req = len(eta)
+    if window_tol == "auto":
+        window_tol = 100 * threshold
+    if window_tol and n_mem_req > 8:
+        eta, _m = _reduce_window(eta, nu, mu, window_tol)
+        if verbose and _m < n_mem_req:
+            print(f"[ptinf] window reduced {n_mem_req} -> {_m} sites "
+                  f"(exact constant-path metric < {window_tol:.1e})")
     n_mem = len(eta)
     if steady_tol is None:
         # the Schmidt spectrum's noise floor is the larger of the
@@ -713,7 +791,8 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
                         bulk=bulk, cap_bulk=cap_bulk,
                         g_of_s=np.asarray(g_of_s, dtype=np.int32),
                         counter_term=np.asarray(counter_term), chi=chi,
-                        n_mem=n_mem, build_residual=float(drift))
+                        n_mem=n_mem, build_residual=float(drift),
+                        n_mem_req=n_mem_req)
 
 
 def _pad_to(T, chi):
@@ -944,7 +1023,9 @@ def load_or_build(path, eta, g_of_s, nu, mu, counter_term, threshold,
                 bulk=z["bulk"], cap_bulk=z["cap_bulk"], g_of_s=z["g_of_s"],
                 counter_term=z["counter"], chi=int(z["chi"]),
                 n_mem=int(z["n_mem"]),
-                build_residual=float(z["residual"]))
+                build_residual=float(z["residual"]),
+                n_mem_req=int(z["n_mem_req"]) if "n_mem_req" in z.files
+                else int(z["n_mem"]))
     if verbose:
         print("{} not found. Calculating stationary PT...".format(path))
     pt = build_stationary_pt(eta, g_of_s, nu, mu, counter_term,
@@ -954,7 +1035,8 @@ def load_or_build(path, eta, g_of_s, nu, mu, counter_term, threshold,
         np.savez(path, init_stack=pt.init_stack, init_caps=pt.init_caps,
                  bulk=pt.bulk, cap_bulk=pt.cap_bulk, g_of_s=pt.g_of_s,
                  counter=pt.counter_term, chi=pt.chi, n_mem=pt.n_mem,
-                 residual=pt.build_residual, fingerprint=fingerprint)
+                 residual=pt.build_residual, fingerprint=fingerprint,
+                 n_mem_req=pt.n_mem_req)
     except OSError:
         pass
     return pt

@@ -534,7 +534,8 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
             + (np.ascontiguousarray(basis).tobytes() if basis is not None
                else b"")
         ).hexdigest()
-        inf_path = path.replace("_ptmpo_v2.npz", "_ptinf_v3.npz")
+        # v4: automatic exact-metric window reduction (ptinf._reduce_window)
+        inf_path = path.replace("_ptmpo_v2.npz", "_ptinf_v4.npz")
         try:
             was_cached = os.path.exists(inf_path)
             spt = ptinf.load_or_build(inf_path, eta_inf, g_of_s, nu, mu,
@@ -545,6 +546,7 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
                 engine="stationary", chi=spt.chi, chi_max=chi_max,
                 saturated=spt.chi >= chi_max, period=spt.period,
                 build_residual=spt.build_residual, n_mem=spt.n_mem,
+                n_mem_req=spt.n_mem_req,
                 cached=was_cached, path=inf_path)
             return spt
         except RuntimeError as e:

@@ -19,7 +19,10 @@ Fields (all present after any phonon run; None where not applicable):
   period          bulk cycle period (stationary only)
   build_residual  final weighted lag-P emission drift (stationary only);
                   observable error at the cycle junction tracks ~10x this
-  n_mem           memory window in steps
+  n_mem           memory window in steps (stationary: the BUILD window,
+                  after the exact-metric automatic reduction)
+  n_mem_req       requested window before the automatic reduction
+                  (stationary only; == n_mem when no reduction applied)
   cached          True when served from an on-disk artifact
   path            cache artifact path
 
@@ -34,7 +37,7 @@ _lock = threading.Lock()
 _LAST = {}
 
 _FIELDS = ("engine", "chi", "chi_max", "saturated", "period",
-           "build_residual", "n_mem", "cached", "path")
+           "build_residual", "n_mem", "n_mem_req", "cached", "path")
 
 
 def record_pt(**kw):
@@ -65,6 +68,10 @@ def format_pt_info(info=None):
         parts.append("period={}".format(info["period"]))
     if info.get("build_residual") is not None:
         parts.append("residual={:.1e}".format(info["build_residual"]))
-    parts.append("n_mem={}".format(info["n_mem"]))
+    if info.get("n_mem_req") and info["n_mem_req"] != info["n_mem"]:
+        parts.append("n_mem={} (req {})".format(info["n_mem"],
+                                                info["n_mem_req"]))
+    else:
+        parts.append("n_mem={}".format(info["n_mem"]))
     parts.append("cached" if info.get("cached") else "built")
     return " ".join(parts)

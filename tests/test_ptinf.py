@@ -177,6 +177,55 @@ def test_long_horizon_stable(pt_pair):
     assert np.all(np.isfinite(np.abs(out)))
 
 
+def test_window_reduction_metric():
+    """Automatic window reduction (ptinf._reduce_window): the QD superohmic
+    kernel at darkmodel scale (t_mem=20.48, dt=0.2 -> n_mem=102) physically
+    decays in ~6.5 ps; the exact constant-path metric certifies a ~30-site
+    window at 1e-6 while a tight tolerance refuses to reduce."""
+    B = np.diag([0.0, 1.0, 1.0, 2.0])
+    g_of_s, nu, mu = ptmpo.liouville_groups(B)
+    J = spectral.QDPhononJ(ae=AE)
+    eta = spectral.eta_coefficients(J, 0.2, 102, TEMP, absorb_tail="onsite")
+    red, m = ptinf._reduce_window(eta, nu, mu, 1e-6)
+    assert m <= 40
+    assert len(red) == m
+    # the dropped tail is folded onsite: total kernel mass is preserved
+    assert np.isclose(red.sum(), eta.sum(), rtol=0, atol=1e-14 * abs(eta[0]))
+    # the chosen window verifies directly against the exact metric
+    assert ptinf._window_error(eta, nu, mu, m) < 1e-6
+    # tight tolerance: no reduction (bit-compatibility with tight-threshold
+    # builds is governed by window_tol = 100 * threshold)
+    _, m_tight = ptinf._reduce_window(eta, nu, mu, 1e-8)
+    assert m_tight == 102
+
+
+def test_window_reduction_exact_driven():
+    """End-to-end: a kernel with a fast decay plus a negligible tail must
+    auto-reduce AND still reproduce the FULL kernel's exact discrete
+    dephasing (the reduction is an onsite re-absorption, whose constant-path
+    error is exactly what _window_error certifies)."""
+    n_mem = 24
+    d_idx = np.arange(n_mem)
+    eta = 0.04 * np.exp(-d_idx / 1.5) * (1 + 0.3j)
+    eta[8:] = 1e-10 * (1 + 1j)      # plateau: physically negligible tail
+    B = np.diag([0.0, 1.0])
+    g_of_s, nu, mu = ptmpo.liouville_groups(B)
+    pt = ptinf.build_stationary_pt(eta, g_of_s, nu, mu, np.zeros((2, 2)),
+                                   threshold=1e-12, chi_max=64,
+                                   window_tol=1e-7, align_budget=40)
+    assert pt.n_mem < n_mem
+    assert pt.n_mem_req == n_mem
+    n = 80
+    _, _, W, mto, mks = _setup(n)
+    U_id = np.broadcast_to(np.eye(d), (n, d, d)).copy()
+    rho_plus = 0.5 * np.ones((d, d), dtype=complex)
+    out, _ = ptmpo.propagate_pt(pt, U_id, None, rho_plus.reshape(-1), W,
+                                mto, mks)
+    exact = np.conj(0.5 * discrete_dephasing(eta, n_mem, n))
+    got = np.asarray(out)[1:, 2]
+    assert np.max(np.abs(got - exact)) < 1e-6
+
+
 def test_tls_default_routes_stationary(tmp_path):
     """End-to-end wiring: tls() with phonons defaults to use_infinite=True,
     which must build/cache a StationaryPT (own _ptinf_*.npz file), route
