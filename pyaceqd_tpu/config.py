@@ -20,6 +20,30 @@ import jax
 import numpy as np
 
 
+def _host_cache_key() -> str:
+    """Hash of the host CPU identity (ISA feature flags) and jax version.
+
+    JAX's persistent-cache key covers the HLO and compile options but NOT the
+    host CPU features the XLA:CPU AOT backend specializes for — loading an
+    entry compiled on an AVX-512/AMX host onto a plainer machine makes XLA
+    log 'could lead to execution errors such as SIGILL' per load.  Keying the
+    cache DIRECTORY by host identity gives each machine its own cache instead
+    of sharing incompatible executables through a synced home dir."""
+    import hashlib
+    import platform
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = "|".join((jax.__version__, platform.machine(), flags))
+    return hashlib.sha256(raw.encode()).hexdigest()[:12]
+
+
 def _init_compilation_cache():
     """Enable JAX's persistent compilation cache (measured r2: the flagship
     bench spent 545 s in compile vs 7 s running — the cache removes that tax
@@ -29,7 +53,8 @@ def _init_compilation_cache():
     if env == "0":
         return
     cache_dir = env or os.path.join(
-        os.path.expanduser("~"), ".cache", "pyaceqd_tpu", "jaxcache")
+        os.path.expanduser("~"), ".cache", "pyaceqd_tpu", "jaxcache",
+        _host_cache_key())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
