@@ -1008,7 +1008,8 @@ def propagate_ptinf(pt: StationaryPT, U, E_half, rho0_vec, W, mto_sops,
 # ---------------------------------------------------------------------------
 
 def load_or_build(path, eta, g_of_s, nu, mu, counter_term, threshold,
-                  chi_max, fingerprint, verbose=False, sector_norm=False):
+                  chi_max, fingerprint, verbose=False, sector_norm=False,
+                  window_tol="auto"):
     import os
     g_arr = np.asarray(g_of_s, dtype=np.int32)
     if os.path.exists(path):
@@ -1030,7 +1031,8 @@ def load_or_build(path, eta, g_of_s, nu, mu, counter_term, threshold,
         print("{} not found. Calculating stationary PT...".format(path))
     pt = build_stationary_pt(eta, g_of_s, nu, mu, counter_term,
                              threshold=threshold, chi_max=chi_max,
-                             verbose=verbose, sector_norm=sector_norm)
+                             verbose=verbose, sector_norm=sector_norm,
+                             window_tol=window_tol)
     try:
         np.savez(path, init_stack=pt.init_stack, init_caps=pt.init_caps,
                  bulk=pt.bulk, cap_bulk=pt.cap_bulk, g_of_s=pt.g_of_s,

@@ -456,14 +456,18 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
                        factor_ah=None, boson_e_max=7, system_prefix="",
                        pt_file=None, temp_dir=None, J_to_file=None,
                        verbose=False, chi_max=None, subtract_polaron_shift=True,
-                       sector_norm=False):
+                       sector_norm=False, window_tol="auto"):
     """Load or build the process tensor for the given bath parameters and
     propagation horizon.  A cached chain built for a longer horizon serves
     shorter runs via its prefix; a longer request triggers a rebuild.
 
     chi_max=None selects the weight-aware default (see default_chi_max).
     sector_norm=True enables sector-aware truncation (sector_scales) —
-    cached separately (``.sn`` infix) and fingerprinted."""
+    cached separately (``.sn`` infix) and fingerprinted.
+    window_tol governs the automatic exact-metric memory-window reduction
+    (ptinf._reduce_window, applied to BOTH engines): "auto" = 100*threshold,
+    a float sets it directly, 0/None disables (full requested t_mem window).
+    See docs/accuracy.md "window reduction"."""
     if boson_op is None:
         raise ValueError("phonons=True requires a boson coupling operator")
     # non-diagonal Hermitian coupling: build on the spectrum, remember the
@@ -491,6 +495,19 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
     n_mem = max(2, int(round(t_mem / dt)))
     eta = spectral.eta_coefficients(J, dt, n_mem, temperature,
                                     e_max_mev=boson_e_max)
+    # automatic exact-metric window reduction (both engines): the finite
+    # builder's per-step sweep cost scales with the effective window, which
+    # the |eta| plateau pins at the full n_mem — the integrated constant-path
+    # metric certifies the physically sufficient window instead
+    n_mem_req = n_mem
+    wtol = (100.0 * thr if window_tol == "auto"
+            else float(window_tol) if window_tol else 0.0)
+    if wtol and n_mem > 8:
+        from pyaceqd_tpu.engine import ptinf as _ptinf_w
+        eta, n_mem = _ptinf_w._reduce_window(eta, nu, mu, wtol)
+        if verbose and n_mem < n_mem_req:
+            print(f"[ptmpo] window reduced {n_mem_req} -> {n_mem} sites "
+                  f"(exact constant-path metric < {wtol:.1e})")
     # bath fingerprint: the filename-style key omits factor_ah / boson_e_max /
     # chi_max / subtract_polaron_shift (the reference's PT filenames have the
     # same gap); validate them on load so a changed bath never silently
@@ -523,12 +540,18 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
         # keeps the fixed point stable AND kills the linear artifact (see
         # spectral.eta_coefficients and the engine/ptinf.py docstring).
         from pyaceqd_tpu.engine import ptinf
-        eta_inf = spectral.eta_coefficients(J, dt, n_mem, temperature,
+        eta_inf = spectral.eta_coefficients(J, dt, n_mem_req, temperature,
                                             e_max_mev=boson_e_max,
                                             absorb_tail="onsite")
         import hashlib as _h
+        # key the cache on the REDUCED kernel: identical reduced kernels mean
+        # identical builds, so window_tol changes only invalidate the cache
+        # when they actually change the build
+        eta_inf_key = eta_inf
+        if wtol and n_mem_req > 8:
+            eta_inf_key, _ = ptinf._reduce_window(eta_inf, nu, mu, wtol)
         fp_inf = _h.sha256(
-            np.ascontiguousarray(eta_inf).tobytes()
+            np.ascontiguousarray(eta_inf_key).tobytes()
             + repr((int(chi_max), bool(subtract_polaron_shift))).encode()
             + (b"+sector_norm" if sector_norm else b"")
             + (np.ascontiguousarray(basis).tobytes() if basis is not None
@@ -540,7 +563,8 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
             was_cached = os.path.exists(inf_path)
             spt = ptinf.load_or_build(inf_path, eta_inf, g_of_s, nu, mu,
                                       counter, thr, chi_max, fp_inf,
-                                      verbose=verbose, sector_norm=sector_norm)
+                                      verbose=verbose, sector_norm=sector_norm,
+                                      window_tol=wtol)
             spt.basis = basis
             diagnostics.record_pt(
                 engine="stationary", chi=spt.chi, chi_max=chi_max,
@@ -573,6 +597,8 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
             diagnostics.record_pt(
                 engine="finite", chi=pt.chi, chi_max=chi_max,
                 saturated=pt.chi >= chi_max, n_mem=pt.n_mem,
+                n_mem_req=(int(z["n_mem_req"]) if "n_mem_req" in z.files
+                           else pt.n_mem),
                 cached=True, path=path)
             return rebalance(pt).prefix(n_steps)
 
@@ -584,12 +610,13 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
     pt.basis = basis
     diagnostics.record_pt(
         engine="finite", chi=pt.chi, chi_max=chi_max,
-        saturated=pt.chi >= chi_max, n_mem=pt.n_mem, cached=False, path=path)
+        saturated=pt.chi >= chi_max, n_mem=pt.n_mem, n_mem_req=n_mem_req,
+        cached=False, path=path)
     try:
         extra = {} if basis is None else {"basis": basis}
         np.savez(path, stack=pt.stack, caps=pt.caps, g_of_s=pt.g_of_s,
                  counter=pt.counter_term, chi=pt.chi, n_mem=pt.n_mem,
-                 fingerprint=fp, **extra)
+                 n_mem_req=n_mem_req, fingerprint=fp, **extra)
     except OSError:
         pass
     return pt

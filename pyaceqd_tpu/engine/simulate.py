@@ -158,7 +158,8 @@ def simulate(t_start, t_end, *pulses, dt=0.1, phonons=False, t_mem=20.48, ae=3.0
              dressedstates=False, rf_op=None, rf_file=None, firstonly=False,
              J_to_file=None, J_file=None, factor_ah=None, use_infinite=False,
              print_H=False, calc_dynmap=False, rho0=None, get_M_t=None,
-             chi_max=None, sector_norm=False, return_task=False, **_ignored):
+             chi_max=None, sector_norm=False, window_tol="auto",
+             return_task=False, **_ignored):
     """Run one open-quantum-system simulation fully in-process.
 
     Accepts the full keyword surface of the reference's system_ace_stream so
@@ -265,7 +266,8 @@ def simulate(t_start, t_end, *pulses, dt=0.1, phonons=False, t_mem=20.48, ae=3.0
                 use_infinite=use_infinite, J_file=J_file, factor_ah=factor_ah,
                 boson_e_max=boson_e_max, system_prefix=system_prefix,
                 pt_file=pt_file, temp_dir=temp_dir, J_to_file=J_to_file,
-                verbose=verbose, chi_max=chi_max, sector_norm=sector_norm)
+                verbose=verbose, chi_max=chi_max, sector_norm=sector_norm,
+                window_tol=window_tol)
         # polaron-shift counter term (ACE Boson_subtract_polaron_shift true,
         # general_system.py:175): interpret level energies as the measured,
         # polaron-shifted ones

@@ -161,3 +161,27 @@ def test_rebalance_invariance_and_f32_safety():
     ys2, _ = ptmpo.propagate_pt(ptmpo.rebalance(new), U, None, rho0, W,
                                 np.zeros((0, d2, d2)), np.zeros(0, np.int32))
     assert np.max(np.abs(np.asarray(ys2) - outs[1])) / scale < 1e-10
+
+
+def test_finite_window_reduction(tmp_path):
+    """The finite builder applies the exact-metric window reduction
+    (get_process_tensor window_tol, default 100*threshold): a t_mem=10.2
+    TLS bath (n_mem=51, certified window 33) must build reduced, report
+    n_mem_req in the diagnostics, and reproduce the full-window driven
+    observables to ~10x the certified constant-path tolerance."""
+    import pyaceqd_tpu
+    p = Pulse(tau=3, e_start=0, w_gain=0, t0=10, e0=1)
+    kw = dict(dt=0.2, phonons=True, t_mem=10.2, ae=AE, temperature=TEMP,
+              threshold=8, use_infinite=False, lindblad=False)
+    r_red = tls(0, 24, p, temp_dir=str(tmp_path / "red"), **kw)
+    info = pyaceqd_tpu.last_pt_info()
+    assert info["engine"] == "finite"
+    assert info["n_mem_req"] == 51
+    assert info["n_mem"] < 40
+    r_full = tls(0, 24, p, temp_dir=str(tmp_path / "full"), window_tol=0,
+                 **kw)
+    info_full = pyaceqd_tpu.last_pt_info()
+    assert info_full["n_mem"] == 51
+    for i in (1, 2, 3):
+        assert np.max(np.abs(np.asarray(r_red[i]) - np.asarray(r_full[i]))) \
+            < 1e-5
