@@ -91,6 +91,12 @@ struct ProfClock {
   long w_n = 0, r_n = 0, x_n = 0;    // ... and call counts (warm/rand/exact)
 };
 static ProfClock* g_prof = nullptr;  // set by ptinf_step while profiling
+// Set whenever an UNLOCKED truncation wanted more rank than chi_max allowed —
+// i.e. the cap (not the SVD threshold) decided a cut somewhere.  Reset by
+// pt_build / ptinf_step; surfaces ACE's "threshold alone governs chi"
+// semantics honestly (emitted bond dims alone cannot: interior window bonds
+// can bind while the emission bond stays below the cap).
+static bool g_capped = false;
 static bool prof_on() {
   static int on = -1;
   if (on < 0) {
@@ -348,6 +354,7 @@ void svd_sweep_rl(std::vector<Tensor>& chain, double thr, int chi_max,
       for (int c = 0; c < k; ++c)
         if (S[c] > S[0] * thr) ++keep;
     }
+    if (keep > chi_max) g_capped = true;
     keep = std::max(1, std::min(chi_max, keep));
     Tensor nt;
     nt.a = keep; nt.g = T.g; nt.b = T.b;
@@ -589,6 +596,7 @@ void trunc_step(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
       for (int c = 0; c < k; ++c)
         if (S[c] > S[0] * thr) ++keep;
     }
+    if (keep > chi_max) g_capped = true;
     keep = std::max(1, std::min(chi_max, keep));
   }
   V.assign(Vh.begin(), Vh.begin() + size_t(keep) * n);
@@ -652,6 +660,7 @@ void trunc_step_lr(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
       for (int c = 0; c < k; ++c)
         if (S[c] > S[0] * thr) ++keep;
     }
+    if (keep > chi_max) g_capped = true;
     keep = std::max(1, std::min(chi_max, keep));
   }
   U_out.resize(size_t(m) * keep);
@@ -697,6 +706,7 @@ struct PtinfState {
   std::vector<std::vector<int>> lock1, lock2;  // [phase][site], 0 = unlocked
   std::deque<std::pair<RecSet, RecSet>> recent;  // pre-detection ring
   ProfClock prof;
+  bool capped = false;  // any unlocked truncation bound by chi_max (g_capped)
 };
 
 RecMat* rec_at(RecSet& rs, int i) {
@@ -887,6 +897,7 @@ int pt_build(int n_steps, int n_mem, int G, int D, int w_eff,
              const cplx* b0, const cplx* bD, const int* d_of_g,
              double threshold, int chi_max, int chi_pad,
              cplx* out, int* out_dims) {
+  g_capped = false;
   std::vector<Tensor> chain;
   std::vector<Tensor> emitted;
   emitted.reserve(n_steps);
@@ -916,7 +927,7 @@ int pt_build(int n_steps, int n_mem, int G, int D, int w_eff,
         std::memcpy(dst + (size_t(l) * G + g) * chi_pad,
                     &T.at(l, g, 0), sizeof(cplx) * T.b);
   }
-  return 0;
+  return g_capped ? 1 : 0;  // 1 = success, but the cap bound a truncation
 }
 
 // ---- stationary (ptinf) stepper ----
@@ -959,6 +970,7 @@ int ptinf_step(void* h, double thr, cplx* q_out, int* q_dims,
                int* lwin_dims, int chi_pad) {
   PtinfState& st = *static_cast<PtinfState*>(h);
   const bool pf = prof_on();
+  g_capped = false;
   g_prof = pf ? &st.prof : nullptr;
   double t0 = pf ? now_s() : 0, t1 = 0;
   auto tick = [&](double& acc) {
@@ -976,6 +988,7 @@ int ptinf_step(void* h, double thr, cplx* q_out, int* q_dims,
   ptinf_svd_sweep_lr(st, thr, use_prev ? &st.hist2[ph] : nullptr, &rec2,
                      use_prev ? &st.lock2[ph] : nullptr);
   tick(st.prof.svd);
+  st.capped = st.capped || g_capped;
   st.prof.steps += 1;
   if (pf) {
     long mb = 0;
@@ -1034,6 +1047,11 @@ int ptinf_step(void* h, double thr, cplx* q_out, int* q_dims,
 
 // Seed the alignment targets and rank locks from the last P pre-detection
 // emissions (ptinf.build_stationary_pt lines "period detected").
+// 1 if any unlocked truncation so far was bound by chi_max (see g_capped).
+int ptinf_capped(void* h) {
+  return static_cast<PtinfState*>(h)->capped ? 1 : 0;
+}
+
 void ptinf_seed(void* h, int period) {
   PtinfState& st = *static_cast<PtinfState*>(h);
   st.period = period;

@@ -120,6 +120,13 @@ def _svd_pinned(M):
     return U * ph[None, :], S, Vh / ph[:, None]
 
 
+# Set whenever an UNLOCKED truncation wanted more rank than chi_max allowed
+# (the cap, not the threshold, decided a cut).  Reset by build_stationary_pt;
+# host builds are single-threaded, so a module-level flag is safe.  The native
+# stepper tracks the same flag in C++ (native.NativePtinfStepper.capped).
+_CAP_TRACK = {"capped": False}
+
+
 def _keep_rank(S, thr, chi_max, lock, i):
     """Truncation rank: threshold rule, or the locked per-bond rank.
 
@@ -134,6 +141,8 @@ def _keep_rank(S, thr, chi_max, lock, i):
     if lock is not None and i in lock:
         return max(1, min(lock[i], len(S)))
     keep = int(np.sum(S > S[0] * thr)) if S[0] > 0 else 1
+    if keep > chi_max:
+        _CAP_TRACK["capped"] = True
     return max(1, min(chi_max, keep))
 
 
@@ -283,6 +292,8 @@ class StationaryPT:
     build_residual: float = 0.0   # final elementwise lag-P emission drift
     basis: np.ndarray = None      # V (d, d) when the coupling was diagonalized
     n_mem_req: int = 0            # requested window before auto reduction
+    capped: bool = False          # chi_max bound some truncation (ptmpo
+    #                               ProcessTensor.capped semantics)
 
     @property
     def n_init(self):
@@ -319,7 +330,8 @@ class StationaryPT:
                 caps[j] = self.cap_bulk[(j - K) % P]
         return ProcessTensor(stack=stack, caps=caps, g_of_s=self.g_of_s,
                              counter_term=self.counter_term, chi=chi,
-                             n_mem=self.n_mem, basis=self.basis)
+                             n_mem=self.n_mem, basis=self.basis,
+                             capped=self.capped)
 
 
 # ---------------------------------------------------------------------------
@@ -561,6 +573,7 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
     w_eff = min(int(big[-1] + 1) if len(big) else 1, n_mem - 1)
     w_eff = max(w_eff, 1)
 
+    _CAP_TRACK["capped"] = False
     stepper = _make_stepper(b0, bD, d_of_g, w_eff, chi_max, max_period,
                             backend=backend)
     emitted = []
@@ -787,12 +800,15 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
             f"stationary PT build saturated chi_max={chi_max}: bond "
             f"truncation, not the SVD threshold, now limits accuracy "
             f"(see docs/accuracy.md).  Raise chi_max.")
+    capped = stepper.capped() if hasattr(stepper, "capped") else None
+    if capped is None:
+        capped = bool(_CAP_TRACK["capped"])
     return StationaryPT(init_stack=init_stack, init_caps=caps[:K],
                         bulk=bulk, cap_bulk=cap_bulk,
                         g_of_s=np.asarray(g_of_s, dtype=np.int32),
                         counter_term=np.asarray(counter_term), chi=chi,
                         n_mem=n_mem, build_residual=float(drift),
-                        n_mem_req=n_mem_req)
+                        n_mem_req=n_mem_req, capped=capped)
 
 
 def _pad_to(T, chi):
@@ -1026,19 +1042,29 @@ def load_or_build(path, eta, g_of_s, nu, mu, counter_term, threshold,
                 n_mem=int(z["n_mem"]),
                 build_residual=float(z["residual"]),
                 n_mem_req=int(z["n_mem_req"]) if "n_mem_req" in z.files
-                else int(z["n_mem"]))
+                else int(z["n_mem"]),
+                capped=bool(z["capped"]) if "capped" in z.files else False)
     if verbose:
         print("{} not found. Calculating stationary PT...".format(path))
-    pt = build_stationary_pt(eta, g_of_s, nu, mu, counter_term,
-                             threshold=threshold, chi_max=chi_max,
-                             verbose=verbose, sector_norm=sector_norm,
-                             window_tol=window_tol)
+    if chi_max == 0:
+        # ACE threshold-only semantics (no cap in the vocabulary): escalate
+        # the cap until it stops binding (ptmpo._unbounded_build)
+        from pyaceqd_tpu.engine.ptmpo import _unbounded_build
+        pt = _unbounded_build(lambda cap: build_stationary_pt(
+            eta, g_of_s, nu, mu, counter_term, threshold=threshold,
+            chi_max=cap, verbose=verbose, sector_norm=sector_norm,
+            window_tol=window_tol))
+    else:
+        pt = build_stationary_pt(eta, g_of_s, nu, mu, counter_term,
+                                 threshold=threshold, chi_max=chi_max,
+                                 verbose=verbose, sector_norm=sector_norm,
+                                 window_tol=window_tol)
     try:
         np.savez(path, init_stack=pt.init_stack, init_caps=pt.init_caps,
                  bulk=pt.bulk, cap_bulk=pt.cap_bulk, g_of_s=pt.g_of_s,
                  counter=pt.counter_term, chi=pt.chi, n_mem=pt.n_mem,
                  residual=pt.build_residual, fingerprint=fingerprint,
-                 n_mem_req=pt.n_mem_req)
+                 n_mem_req=pt.n_mem_req, capped=pt.capped)
     except OSError:
         pass
     return pt

@@ -205,11 +205,13 @@ def _qr_sweep_lr(chain, start=0):
     return chain
 
 
-def _svd_sweep_rl(chain, thr, chi_max, stop=0):
+def _svd_sweep_rl(chain, thr, chi_max, stop=0, stats=None):
     for i in range(len(chain) - 1, stop, -1):
         a, g, b = chain[i].shape
         U, S, Vh = np.linalg.svd(chain[i].reshape(a, g * b), full_matrices=False)
         keep = int(np.sum(S > S[0] * thr)) if S[0] > 0 else 1
+        if stats is not None and keep > chi_max:
+            stats["capped"] = True
         keep = max(1, min(chi_max, keep))
         chain[i] = Vh[:keep].reshape(keep, g, b)
         chain[i - 1] = np.einsum('agb,bc->agc', chain[i - 1], U[:, :keep] * S[:keep])
@@ -228,7 +230,7 @@ def _emit(chain):
 
 def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
                      eta_cut=1e-10, verbose=False, odd_threshold_ratio=None,
-                     b0_scale=None):
+                     b0_scale=None, stats=None):
     """Build the per-step PT tensors for a propagation horizon of n_steps.
 
     The memory window is len(eta) steps, but the layer only threads through
@@ -265,9 +267,10 @@ def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
         # right bonds are already truncated when each site is reached; mildly
         # suboptimal since the left part is not re-canonicalized yet, so use
         # a tighter threshold), then canonicalize and truncate properly
-        chain = _svd_sweep_rl(chain, thr_step * 0.1, chi_max, stop=seg)
+        chain = _svd_sweep_rl(chain, thr_step * 0.1, chi_max, stop=seg,
+                              stats=stats)
         chain = _qr_sweep_lr(chain, start=seg)
-        chain = _svd_sweep_rl(chain, thr_step, chi_max, stop=seg)
+        chain = _svd_sweep_rl(chain, thr_step, chi_max, stop=seg, stats=stats)
         chain = _qr_sweep_lr(chain, start=seg)
         if len(chain) == n_mem:
             Q, chain = _emit(chain)
@@ -292,6 +295,11 @@ class ProcessTensor:
     chi: int
     n_mem: int
     basis: np.ndarray = None  # V (d, d) when the coupling was diagonalized
+    # True when chi_max (not the SVD threshold) bound some truncation during
+    # the build — including interior window bonds that never show in the
+    # emitted dims (measured: cap=64 vs cap=128 builds with identical emitted
+    # chi=40 differ by 3.4e-4 in observables).  Drives _unbounded_build.
+    capped: bool = False
 
     @property
     def n_steps(self):
@@ -306,7 +314,8 @@ class ProcessTensor:
                              f"requested {n}")
         return ProcessTensor(stack=self.stack[:n], caps=self.caps[:n + 1],
                              g_of_s=self.g_of_s, counter_term=self.counter_term,
-                             chi=self.chi, n_mem=self.n_mem, basis=self.basis)
+                             chi=self.chi, n_mem=self.n_mem, basis=self.basis,
+                             capped=self.capped)
 
 
 def _pad(T, chi):
@@ -329,17 +338,23 @@ def assemble_process_tensor(eta, g_of_s, nu, mu, counter_term, n_steps,
     m_g = sector_scales(eta, nu, mu) if sector_norm else None
     b0_scale = (1.0 / m_g) if sector_norm else None
     tensors = None
-    try:
-        from pyaceqd_tpu.native import build_pt_tensors_native
-        tensors = build_pt_tensors_native(eta, nu, mu, n_steps,
-                                          threshold=threshold, chi_max=chi_max,
-                                          b0_scale=b0_scale)
-    except Exception:
-        tensors = None
+    stats = {"capped": False}
+    # the native builder's output buffer is padded to (n_steps, chi_max, G,
+    # chi_max) complex128 — beyond 256 that allocation dwarfs the work, so
+    # escalated unbounded builds route to the numpy builder instead
+    if chi_max <= 256:
+        try:
+            from pyaceqd_tpu.native import build_pt_tensors_native
+            tensors = build_pt_tensors_native(eta, nu, mu, n_steps,
+                                              threshold=threshold,
+                                              chi_max=chi_max,
+                                              b0_scale=b0_scale, stats=stats)
+        except Exception:
+            tensors = None
     if tensors is None:
         tensors = build_pt_tensors(eta, nu, mu, n_steps, threshold=threshold,
                                    chi_max=chi_max, verbose=verbose,
-                                   b0_scale=b0_scale)
+                                   b0_scale=b0_scale, stats=stats)
     if sector_norm:
         # restore the exact influence functional: the per-(step, group)
         # boost factors out of the path sum site by site
@@ -386,7 +401,7 @@ def assemble_process_tensor(eta, g_of_s, nu, mu, counter_term, n_steps,
     caps = caps / caps[0][0]
     return ProcessTensor(stack=stack, caps=caps, g_of_s=np.asarray(g_of_s),
                          counter_term=np.asarray(counter_term), chi=chi,
-                         n_mem=len(eta))
+                         n_mem=len(eta), capped=bool(stats["capped"]))
 
 
 # ---------------------------------------------------------------------------
@@ -433,7 +448,47 @@ def rebalance(pt: ProcessTensor) -> ProcessTensor:
     caps = caps / caps[0][0]
     return ProcessTensor(stack=stack, caps=caps, g_of_s=pt.g_of_s,
                          counter_term=pt.counter_term, chi=pt.chi,
-                         n_mem=pt.n_mem, basis=pt.basis)
+                         n_mem=pt.n_mem, basis=pt.basis, capped=pt.capped)
+
+
+# ACE threshold-only (unbounded chi) emulation: escalate the cap until it no
+# longer binds.  ACE's vocabulary has no chi cap at all — `threshold` alone
+# governs the bond dimension (reference general_system.py:161-174); a fixed
+# XLA-friendly stack needs SOME cap, so "unbounded" = the smallest
+# power-of-two cap the threshold never reaches, found by doubling.
+UNBOUNDED_START = 128
+UNBOUNDED_CEIL = 1024
+
+
+def _unbounded_build(build_fn, start=None, ceil=None):
+    """Run build_fn(cap) with cap doubling until the cap stops binding.
+
+    build_fn(cap) must return an object with ``.chi`` and (if available)
+    ``.capped`` attributes.  ``capped`` is the honest signal (interior window
+    bonds can bind while the emitted bond stays below the cap — measured:
+    cap=64 vs 128 both emit chi=40 at thr 1e-6 yet differ by 3.4e-4);
+    ``chi < cap`` is the fallback for builders that cannot report it.
+    Saturation warnings of intermediate (re-tried) builds are suppressed; the
+    final build's warnings pass through (a ceiling-bound build still warns)."""
+    import warnings
+    cap = int(start if start is not None else UNBOUNDED_START)
+    ceil = int(ceil if ceil is not None else UNBOUNDED_CEIL)
+    while True:
+        final = cap >= ceil
+        with warnings.catch_warnings():
+            if not final:
+                warnings.simplefilter("ignore")
+            pt = build_fn(cap)
+        capped = getattr(pt, "capped", None)
+        unbound = (not capped) if capped is not None else pt.chi < cap
+        if unbound or final:
+            if final and not unbound:
+                warnings.warn(
+                    f"unbounded PT build still cap-bound at the escalation "
+                    f"ceiling {ceil}; result is threshold-inexact "
+                    f"(raise ptmpo.UNBOUNDED_CEIL or loosen the threshold)")
+            return pt
+        cap = min(2 * cap, ceil)
 
 
 def default_chi_max(boson_op):
@@ -461,7 +516,11 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
     propagation horizon.  A cached chain built for a longer horizon serves
     shorter runs via its prefix; a longer request triggers a rebuild.
 
-    chi_max=None selects the weight-aware default (see default_chi_max).
+    chi_max=None selects the weight-aware default (see default_chi_max);
+    chi_max=0 (or "unbounded") requests ACE's threshold-only semantics — no
+    cap in the vocabulary (reference general_system.py:161-174) — realized by
+    escalating the cap (128, 256, ... UNBOUNDED_CEIL) until it stops binding,
+    so the SVD threshold alone governs the bond dimension.
     sector_norm=True enables sector-aware truncation (sector_scales) —
     cached separately (``.sn`` infix) and fingerprinted.
     window_tol governs the automatic exact-metric memory-window reduction
@@ -473,8 +532,12 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
     # non-diagonal Hermitian coupling: build on the spectrum, remember the
     # eigenbasis (the system side is conjugated at task assembly, simulate.py)
     boson_op, basis = coupling_eigenbasis(boson_op)
-    if chi_max is None:
+    unbounded = chi_max == 0 or chi_max == "unbounded"
+    if unbounded:
+        chi_max = 0
+    elif chi_max is None:
         chi_max = default_chi_max(boson_op)
+    cap_eff = UNBOUNDED_CEIL if unbounded else chi_max  # saturation reference
     thr = 10.0 ** (-float(threshold))
     if J_file is not None:
         J = spectral.TabulatedJ(J_file)
@@ -568,7 +631,8 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
             spt.basis = basis
             diagnostics.record_pt(
                 engine="stationary", chi=spt.chi, chi_max=chi_max,
-                saturated=spt.chi >= chi_max, period=spt.period,
+                saturated=spt.chi >= cap_eff, capped=spt.capped,
+                period=spt.period,
                 build_residual=spt.build_residual, n_mem=spt.n_mem,
                 n_mem_req=spt.n_mem_req,
                 cached=was_cached, path=inf_path)
@@ -593,10 +657,13 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
                                g_of_s=z["g_of_s"], counter_term=z["counter"],
                                chi=int(z["chi"]), n_mem=int(z["n_mem"]),
                                basis=(z["basis"] if "basis" in z.files
-                                      else None))
+                                      else None),
+                               capped=(bool(z["capped"])
+                                       if "capped" in z.files else False))
             diagnostics.record_pt(
                 engine="finite", chi=pt.chi, chi_max=chi_max,
-                saturated=pt.chi >= chi_max, n_mem=pt.n_mem,
+                saturated=pt.chi >= cap_eff, capped=pt.capped,
+                n_mem=pt.n_mem,
                 n_mem_req=(int(z["n_mem_req"]) if "n_mem_req" in z.files
                            else pt.n_mem),
                 cached=True, path=path)
@@ -604,19 +671,25 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
 
     if verbose:
         print("{} not found (or too short). Calculating...".format(path))
-    pt = assemble_process_tensor(eta, g_of_s, nu, mu, counter, n_steps,
-                                 threshold=thr, chi_max=chi_max, verbose=verbose,
-                                 sector_norm=sector_norm)
+    if unbounded:
+        pt = _unbounded_build(lambda cap: assemble_process_tensor(
+            eta, g_of_s, nu, mu, counter, n_steps, threshold=thr,
+            chi_max=cap, verbose=verbose, sector_norm=sector_norm))
+    else:
+        pt = assemble_process_tensor(eta, g_of_s, nu, mu, counter, n_steps,
+                                     threshold=thr, chi_max=chi_max,
+                                     verbose=verbose, sector_norm=sector_norm)
     pt.basis = basis
     diagnostics.record_pt(
         engine="finite", chi=pt.chi, chi_max=chi_max,
-        saturated=pt.chi >= chi_max, n_mem=pt.n_mem, n_mem_req=n_mem_req,
-        cached=False, path=path)
+        saturated=pt.chi >= cap_eff, capped=pt.capped, n_mem=pt.n_mem,
+        n_mem_req=n_mem_req, cached=False, path=path)
     try:
         extra = {} if basis is None else {"basis": basis}
         np.savez(path, stack=pt.stack, caps=pt.caps, g_of_s=pt.g_of_s,
                  counter=pt.counter_term, chi=pt.chi, n_mem=pt.n_mem,
-                 n_mem_req=n_mem_req, fingerprint=fp, **extra)
+                 n_mem_req=n_mem_req, fingerprint=fp, capped=pt.capped,
+                 **extra)
     except OSError:
         pass
     return pt

@@ -187,6 +187,12 @@ def simulate(t_start, t_end, *pulses, dt=0.1, phonons=False, t_mem=20.48, ae=3.0
       tensors per step (engine/ptinf.py).
     - ``precision``: ACE's output decimal places; outputs here are returned
       as arrays at full precision, never via text files.
+
+    ``chi_max`` (not an ACE knob): bond-dimension cap for the PT build.
+    None = weight-aware default (ptmpo.default_chi_max: 128 for weight-2
+    couplings, else 64); 0 = ACE's threshold-only semantics (no cap —
+    escalates automatically until the SVD threshold governs,
+    ptmpo._unbounded_build).
     """
     if multitime_op is not None:
         if isinstance(multitime_op, dict):

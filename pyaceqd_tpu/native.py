@@ -89,6 +89,11 @@ def get_lib(auto_build=True):
                                f64, i32, c128, i32, ctypes.c_int]
     lib.ptinf_seed.restype = None
     lib.ptinf_seed.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    try:
+        lib.ptinf_capped.restype = ctypes.c_int
+        lib.ptinf_capped.argtypes = [ctypes.c_void_p]
+    except AttributeError:  # pragma: no cover - pre-capped-flag library
+        pass
     lib.ptinf_double.restype = None
     lib.ptinf_double.argtypes = [ctypes.c_void_p]
     lib.ptinf_free.restype = None
@@ -147,6 +152,13 @@ class NativePtinfStepper:
     def seed(self, period):
         self._lib.ptinf_seed(self._h, int(period))
 
+    def capped(self):
+        """True if any unlocked truncation so far was bound by chi_max (the
+        cap, not the SVD threshold, decided a cut)."""
+        if not hasattr(self._lib, "ptinf_capped"):
+            return None
+        return bool(self._lib.ptinf_capped(self._h))
+
     def prof(self):
         """Per-section cumulative seconds (PYACEQD_TPU_NATIVE_PROF=1 runs)."""
         buf = np.zeros(16, dtype=np.float64)
@@ -169,11 +181,14 @@ class NativePtinfStepper:
 
 
 def build_pt_tensors_native(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
-                            eta_cut=1e-10, verbose=False, b0_scale=None):
+                            eta_cut=1e-10, verbose=False, b0_scale=None,
+                            stats=None):
     """Native equivalent of engine.ptmpo.build_pt_tensors.
 
     Returns a list of n_steps (chi_l, G, chi_r) complex tensors, or None if
-    the native library is unavailable (caller falls back to numpy)."""
+    the native library is unavailable (caller falls back to numpy).
+    stats, if a dict, receives ``capped``: whether chi_max (not the SVD
+    threshold) bound any truncation (same contract as the numpy builder)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -206,7 +221,9 @@ def build_pt_tensors_native(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
         rc = lib.pt_build(n_steps, n_mem, G, D, w_eff, b0, bD.reshape(-1),
                           d_of_g, float(threshold), int(chi_max), chi_pad,
                           out.reshape(-1), dims.reshape(-1))
-    if rc != 0:
+    if rc not in (0, 1):  # 1 = success with the cap binding somewhere
         return None
+    if stats is not None:
+        stats["capped"] = rc == 1
     return [np.ascontiguousarray(out[i, :dims[i, 0], :, :dims[i, 1]])
             for i in range(n_steps)]
