@@ -6,8 +6,9 @@ thresholds (and chi caps) and reports the concurrence / density-matrix
 deltas.  The flagship number is anchored when the concurrence moves < 1e-2
 between adjacent rows.
 
-Usage:  python scripts/flagship06_convergence.py [threshold ...]
-        (default rows: 8 9; each row is 10^-thr on the stationary build)
+Usage:  python scripts/flagship06_convergence.py [row ...]
+        (default rows: 8 9).  Each row is "thr[:chi_max][:window_tol]" on the
+        stationary build, e.g. "8", "8:256", "8::0" (0 = full window).
 
 Each row builds its own stationary PT (cached per threshold under
 examples/.cache) and runs the full (t1, t2) fan-out on the attached chip,
@@ -35,7 +36,7 @@ DT = 0.2
 GAMMA = 1 / 100
 
 
-def run_row(threshold, chi_max=None):
+def run_row(threshold, chi_max=None, window_tol=None):
     p1 = Pulse(tau=3.0, e_start=0, e0=0.5, t0=12, polar_x=1)
     p2 = Pulse(tau=3.0, e_start=0, e0=1.0, t0=12 + TB, polar_x=1)
     opts = {"verbose": True, "delta_xd": 4, "delta_b": 4, "gamma_e": GAMMA,
@@ -44,6 +45,8 @@ def run_row(threshold, chi_max=None):
             "threshold": threshold, "temp_dir": tmp}
     if chi_max is not None:
         opts["chi_max"] = chi_max
+    if window_tol is not None:
+        opts["window_tol"] = window_tol
     t0 = time.time()
     tpb = TwoPhotonTimebinNew(darkmodel, "|0><1|_4", "|1><0|_4", "|1><3|_4",
                               "|3><1|_4", p1, p2, dt=DT, dim=4, tb=TB,
@@ -52,24 +55,35 @@ def run_row(threshold, chi_max=None):
     dm = dm / np.trace(dm).real
     import pyaceqd_tpu
     info = pyaceqd_tpu.last_pt_info()
-    print("[row thr=%s chi_max=%s] concurrence=%.4f  wall=%.0fs  %s"
-          % (threshold, chi_max, conc, time.time() - t0,
+    print("[row thr=%s chi_max=%s wtol=%s] concurrence=%.4f  wall=%.0fs  %s"
+          % (threshold, chi_max, window_tol, conc, time.time() - t0,
              pyaceqd_tpu.format_pt_info(info)), flush=True)
     return conc, dm, info
 
 
+def _parse_row(spec):
+    """'thr[:chi_max][:window_tol]' -> kwargs for run_row."""
+    parts = str(spec).split(":")
+    kw = {"threshold": float(parts[0])}
+    if len(parts) > 1 and parts[1]:
+        kw["chi_max"] = int(parts[1])
+    if len(parts) > 2 and parts[2] != "":
+        kw["window_tol"] = float(parts[2])
+    return kw
+
+
 def main():
-    rows = [float(a) for a in sys.argv[1:]] or [8, 9]
+    rows = sys.argv[1:] or ["8", "9"]
     res = {}
-    for thr in rows:
-        res[thr] = run_row(thr)
-    base_thr = rows[0]
-    conc0, dm0, _ = res[base_thr]
-    print("\n=== convergence table (base thr=%g) ===" % base_thr)
-    for thr in rows[1:]:
-        conc, dm, _ = res[thr]
-        print("thr %g -> %g: d_concurrence = %.2e, max|d_dm| = %.2e"
-              % (base_thr, thr, abs(conc - conc0), np.max(np.abs(dm - dm0))),
+    for spec in rows:
+        res[spec] = run_row(**_parse_row(spec))
+    base = rows[0]
+    conc0, dm0, _ = res[base]
+    print("\n=== convergence table (base row=%s) ===" % base)
+    for spec in rows[1:]:
+        conc, dm, _ = res[spec]
+        print("row %s -> %s: d_concurrence = %.2e, max|d_dm| = %.2e"
+              % (base, spec, abs(conc - conc0), np.max(np.abs(dm - dm0))),
               flush=True)
 
 
