@@ -9,6 +9,11 @@ between adjacent rows.
 Usage:  python scripts/flagship06_convergence.py [row ...]
         (default rows: 8 9).  Each row is "thr[:chi_max][:window_tol]" on the
         stationary build, e.g. "8", "8:256", "8::0" (0 = full window).
+        Prefix a row with "tl" (e.g. "tl9::1e-6") to compute the density
+        matrix through the INDEPENDENT v2 time-local 8-op fast path
+        (calc_densitymatrix_tl — the reference's timebin_tl.f90 contract,
+        twophoton_new.py:100-181) instead of the direct (t1, t2) PT fan-out:
+        a cross-METHOD anchor sharing only the PT build with the direct rows.
 
 Each row builds its own stationary PT (cached per threshold under
 examples/.cache) and runs the full (t1, t2) fan-out on the attached chip,
@@ -36,7 +41,7 @@ DT = 0.2
 GAMMA = 1 / 100
 
 
-def run_row(threshold, chi_max=None, window_tol=None):
+def run_row(threshold, chi_max=None, window_tol=None, tl=False):
     p1 = Pulse(tau=3.0, e_start=0, e0=0.5, t0=12, polar_x=1)
     p2 = Pulse(tau=3.0, e_start=0, e0=1.0, t0=12 + TB, polar_x=1)
     opts = {"verbose": True, "delta_xd": 4, "delta_b": 4, "gamma_e": GAMMA,
@@ -51,20 +56,28 @@ def run_row(threshold, chi_max=None, window_tol=None):
     tpb = TwoPhotonTimebinNew(darkmodel, "|0><1|_4", "|1><0|_4", "|1><3|_4",
                               "|3><1|_4", p1, p2, dt=DT, dim=4, tb=TB,
                               gaussian_t=24, options=opts)
-    conc, dm = tpb.calc_densitymatrix(reduced=True, use_second_zero=True)
+    if tl:
+        conc, dm, _ = tpb.calc_densitymatrix_tl(reduced=True)
+    else:
+        conc, dm = tpb.calc_densitymatrix(reduced=True, use_second_zero=True)
     dm = dm / np.trace(dm).real
     import pyaceqd_tpu
     info = pyaceqd_tpu.last_pt_info()
-    print("[row thr=%s chi_max=%s wtol=%s] concurrence=%.4f  wall=%.0fs  %s"
-          % (threshold, chi_max, window_tol, conc, time.time() - t0,
-             pyaceqd_tpu.format_pt_info(info)), flush=True)
+    print("[row %sthr=%s chi_max=%s wtol=%s] concurrence=%.4f  wall=%.0fs  %s"
+          % ("tl " if tl else "", threshold, chi_max, window_tol, conc,
+             time.time() - t0, pyaceqd_tpu.format_pt_info(info)), flush=True)
     return conc, dm, info
 
 
 def _parse_row(spec):
     """'thr[:chi_max][:window_tol]' -> kwargs for run_row."""
-    parts = str(spec).split(":")
-    kw = {"threshold": float(parts[0])}
+    spec = str(spec)
+    kw = {}
+    if spec.startswith("tl"):
+        kw["tl"] = True
+        spec = spec[2:]
+    parts = spec.split(":")
+    kw["threshold"] = float(parts[0])
     if len(parts) > 1 and parts[1]:
         kw["chi_max"] = int(parts[1])
     if len(parts) > 2 and parts[2] != "":
