@@ -364,14 +364,23 @@ class TwoPhotonTimebinNew(TimeBin):
     def _calc_dynmaps(self):
         """Per-bin time-local maps: one calc_dynmap run per bin over the pulse
         region, stationary map beyond (reference twophoton_new.py:559-597)."""
-        if self.options.get("phonons"):
-            print("Phonons are enabled in the options. Correlation functions "
-                  "will give wrong results.")
         options_new = self.options.copy()
         self.prepare_puslefile_tls()
         options_new["pulse_file_x"] = self.pulse_file_x1
         options_new["pulse_file_y"] = self.pulse_file_y1
         t_dm = (self.gaussian_t if self.gaussian_t is not None else self.tb / 4) + 10
+        if self.options.get("phonons"):
+            # The reference extracts the stationary map at gaussian_t+10 and
+            # warns "Phonons are enabled ... will give wrong results"
+            # (reference twophoton_new.py:568-577): at that horizon the bath
+            # transient has not decayed (t_mem ~ 20 ps), so the extracted
+            # per-step map carries a residual-rate error that COMPOUNDS over
+            # the ~tb/dt map applications (measured tb=800 darkmodel:
+            # concurrence 0.545 vs 0.589 direct-PT).  Extend the horizon past
+            # the bath settling time, like the purity tl path (purity.py:221).
+            t_mem = float(self.options.get("t_mem", 20.48))
+            t_dm = min(max(t_dm, 2.1 * ((self.gaussian_t or 0.0) + t_mem)),
+                       float(self.tb))
         result1, dm1 = self.system(0, t_dm, calc_dynmap=True, **options_new)
         options_new["pulse_file_x"] = self.pulse_file_x2
         options_new["pulse_file_y"] = self.pulse_file_y2

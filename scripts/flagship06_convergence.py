@@ -36,7 +36,7 @@ tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "examples", ".cache")
 os.makedirs(tmp, exist_ok=True)
 
-TB = 800.0
+TB = float(os.environ.get("FLAG06_TB", "800.0"))
 DT = 0.2
 GAMMA = 1 / 100
 
