@@ -84,6 +84,17 @@ print("PT diagnostics:", pyaceqd_tpu.format_pt_info())
 # thr-8/29-site corner is the outlier and is therefore NOT the headline
 # config.  Headline (this file): threshold=9, window_tol=1e-6 ->
 # concurrence = 0.5893, converged to well under 1e-2 per knob.
+#
+# CROSS-METHOD row (measured 2026-08-19, same thr-9 PT): the INDEPENDENT
+# v2 time-local 8-op fast path (calc_densitymatrix_tl, the reference's
+# timebin_tl.f90 engine; run via `flagship06_convergence.py tl9::1e-6`)
+# gives concurrence 0.5458 — a 4.4e-2 gap that is the KNOWN approximation
+# of time-local maps with phonons (operator insertions ignore bath
+# correlations within t_mem = 20.48 ps of each (t1, t2) point; the
+# reference warns "will give wrong results" for exactly this path,
+# twophoton_new.py:568-577).  It confirms the direct-PT number at the
+# accuracy the tl method supports; the direct (t1, t2) PT fan-out above
+# remains the quantitative engine with phonons.
 # HISTORY: round 2 reported concurrence 0.1972 from a chi=13 stationary
 # build — an ARTIFACT of premature steady-state detection (the slow
 # n_mem=102 transient passed the lag-1 drift tolerance mid-transient and

@@ -373,11 +373,19 @@ class TwoPhotonTimebinNew(TimeBin):
             # The reference extracts the stationary map at gaussian_t+10 and
             # warns "Phonons are enabled ... will give wrong results"
             # (reference twophoton_new.py:568-577): at that horizon the bath
-            # transient has not decayed (t_mem ~ 20 ps), so the extracted
-            # per-step map carries a residual-rate error that COMPOUNDS over
-            # the ~tb/dt map applications (measured tb=800 darkmodel:
-            # concurrence 0.545 vs 0.589 direct-PT).  Extend the horizon past
-            # the bath settling time, like the purity tl path (purity.py:221).
+            # transient may not have decayed (t_mem ~ 20 ps), so the
+            # extracted stationary map would carry a residual-rate error
+            # compounding over the ~tb/dt map applications.  Extend the
+            # horizon past the bath settling time, like the purity tl path
+            # (purity.py:221).  MEASURED at the tb=800 darkmodel flagship
+            # (thr 1e-9 stationary PT): tl concurrence 0.5458 vs 0.5893
+            # direct-PT, with or without the extension — there the default
+            # horizon already sits past settling, and the remaining 4.4e-2
+            # is the tl method's intrinsic insertion-time approximation
+            # (operator insertions on time-local maps ignore bath
+            # correlations within t_mem of each insertion; exactly the
+            # reference's warning).  The extension guards configs whose
+            # pulse window ends closer to the gaussian_t+10 horizon.
             t_mem = float(self.options.get("t_mem", 20.48))
             t_dm = min(max(t_dm, 2.1 * ((self.gaussian_t or 0.0) + t_mem)),
                        float(self.tb))

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pyaceqd_tpu import config
+
 
 class CPair(NamedTuple):
     """Pytree node holding the (real, imag) float split of a complex array."""
@@ -100,6 +102,13 @@ def hostsafe(fn=None, *, static_argnames=()):
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
+        # settle the global precision (jax_enable_x64) BEFORE dispatching:
+        # if the lazy init instead fires inside the trace, the entry avals
+        # are canonicalized under the old x64 setting while the runtime
+        # buffers convert under the new one — "Executable expected parameter
+        # of size N but got buffer with incompatible size 2N" on the first
+        # hostsafe call of a process that touched no engine path first
+        config.precision()
         if not _needs_hostsafe():
             return jitted_plain(*args, **kwargs)
         bound = sig.bind(*args, **kwargs)

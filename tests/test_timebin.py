@@ -103,6 +103,49 @@ def test_twophoton_v2_densitymatrix():
     assert abs(dm[0, 3]) > 0.1 * np.sqrt(dm[0, 0].real * dm[3, 3].real)
 
 
+def test_tl_dynmaps_phonon_horizon(tmp_path):
+    """With phonons the tl fast path must extract its per-bin maps over a
+    horizon covering the bath settling time 2.1*(gaussian_t + t_mem), capped
+    at tb; without phonons the reference horizon gaussian_t+10 stands
+    (reference twophoton_new.py:568-577 extracts at gaussian_t+10
+    unconditionally and warns about phonons).  The guard protects against the
+    stationary map being extracted mid-transient and its residual-rate error
+    compounding over ~tb/dt applications; the tl engine's separate
+    insertion-time phonon approximation is measured at the tb=800 flagship
+    (examples/06 footer: tl 0.5458 vs direct 0.5893)."""
+    horizons = []
+
+    def fake_system(t_start, t_end, calc_dynmap=True, **opts):
+        horizons.append(t_end)
+        n = int(round((t_end - t_start) / 0.2)) + 1
+        dm = np.broadcast_to(np.eye(16, dtype=complex), (n, 16, 16)).copy()
+        return None, dm
+
+    tb = 96.0
+    p1 = Pulse(tau=1.5, e_start=0, e0=0.5, t0=4, polar_x=1)
+    p2 = Pulse(tau=1.5, e_start=0, e0=1.0, t0=4 + tb, polar_x=1)
+    for phonons, expected in ((False, 24 + 10), (True, 2.1 * (24 + 20.0))):
+        horizons.clear()
+        opts = {"gamma_e": 0.01, "phonons": phonons, "t_mem": 20.0,
+                "temp_dir": str(tmp_path)}
+        tpb = TwoPhotonTimebinNew(fake_system, "|0><1|_4", "|1><0|_4",
+                                  "|1><3|_4", "|3><1|_4", p1, p2, dt=0.2,
+                                  dim=4, tb=tb, gaussian_t=24, options=opts)
+        tpb._calc_dynmaps()
+        assert np.isclose(horizons[0], expected), (phonons, horizons)
+    # capped at tb when the settling horizon exceeds the bin
+    horizons.clear()
+    p2s = Pulse(tau=1.5, e_start=0, e0=1.0, t0=4 + 48.0, polar_x=1)
+    opts_short = {"gamma_e": 0.01, "phonons": True, "t_mem": 20.0,
+                  "temp_dir": str(tmp_path)}
+    tpb2 = TwoPhotonTimebinNew(fake_system, "|0><1|_4", "|1><0|_4",
+                               "|1><3|_4", "|3><1|_4", p1, p2s, dt=0.2,
+                               dim=4, tb=48.0, gaussian_t=24,
+                               options=opts_short)
+    tpb2._calc_dynmaps()
+    assert np.isclose(horizons[0], 48.0)
+
+
 @pytest.mark.slow
 def test_twophoton_dark_storage_finite_vs_stationary_phonons():
     """Reduced-tb referee for the flagship dark-storage protocol (VERDICT r2
