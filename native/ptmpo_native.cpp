@@ -78,9 +78,6 @@ extern "C" int pt_init(const char* blas_path) {
   return (zgemm_ && zgelqf_ && zunglq_ && zgesdd_) ? (h1 ? 1 : 2) : -1;
 }
 
-static int g_use_rsvd = 0;  // opt-in: ~1.2x faster zip-up but O(1e-5) observable drift
-extern "C" void pt_set_rsvd(int on) { g_use_rsvd = on; }
-
 // Phase profiling for the stationary stepper (PYACEQD_TPU_NATIVE_PROF=1):
 // cumulative seconds per ptinf_step section, dumped by ptinf_prof().
 struct ProfClock {
@@ -252,24 +249,6 @@ int svd_rowmajor(std::vector<cplx>& M, int m, int n, std::vector<cplx>& U,
   return info;
 }
 
-// chain[i] (a,g,b) -> QR of (a*g, b); absorb R into chain[i+1]
-void qr_sweep_lr(std::vector<Tensor>& chain, int start) {
-  for (int i = start; i + 1 < int(chain.size()); ++i) {
-    Tensor& T = chain[i];
-    int m = T.a * T.g, n = T.b, kr = 0;
-    std::vector<cplx> Q, R;
-    qr_rowmajor(T.data, m, n, Q, R, kr);
-    Tensor nt;
-    nt.a = T.a; nt.g = T.g; nt.b = kr; nt.data = std::move(Q);
-    Tensor& N = chain[i + 1];
-    Tensor out;
-    out.resize(kr, N.g, N.b);
-    matmul(R.data(), N.data.data(), out.data.data(), kr, N.a, N.g * N.b);
-    chain[i] = std::move(nt);
-    chain[i + 1] = std::move(out);
-  }
-}
-
 // Randomized truncated SVD of row-major M (m,n) targeting rank <= k_target:
 // range finder with one power iteration, then an exact SVD of the small
 // projected matrix (Halko-Martinsson-Tropp).  Used for the zip-up
@@ -330,92 +309,6 @@ void rsvd_rowmajor(std::vector<cplx>& M, int m, int n, int k_target,
   int kk = int(S.size());
   U.resize(size_t(m) * kk);
   matmul(Q.data(), Uc.data(), U.data(), m, kr, kk);
-}
-
-// chain[i] (a,g,b) -> SVD of (a, g*b), truncate; absorb U*S into chain[i-1].
-// use_rsvd: allow the randomized path when the row count far exceeds what can
-// survive truncation (zip-up stage; the final sweep stays exact).
-void svd_sweep_rl(std::vector<Tensor>& chain, double thr, int chi_max,
-                  int stop, bool use_rsvd = false) {
-  for (int i = int(chain.size()) - 1; i > stop; --i) {
-    Tensor& T = chain[i];
-    int m = T.a, n = T.g * T.b;
-    std::vector<cplx> U, Vh;
-    std::vector<double> S;
-    int k_target = chi_max + 32;  // oversampling margin
-    if (use_rsvd && g_use_rsvd && m > 2 * k_target && n > k_target)
-      rsvd_rowmajor(T.data, m, n, k_target, U, S, Vh);
-    else
-      svd_rowmajor(T.data, m, n, U, S, Vh);
-    int k = int(S.size());
-    int keep = 1;
-    if (S[0] > 0) {
-      keep = 0;
-      for (int c = 0; c < k; ++c)
-        if (S[c] > S[0] * thr) ++keep;
-    }
-    if (keep > chi_max) g_capped = true;
-    keep = std::max(1, std::min(chi_max, keep));
-    Tensor nt;
-    nt.a = keep; nt.g = T.g; nt.b = T.b;
-    nt.data.assign(Vh.begin(), Vh.begin() + size_t(keep) * n);
-    // US (m, keep)
-    std::vector<cplx> US(size_t(m) * keep);
-    for (int r = 0; r < m; ++r)
-      for (int c = 0; c < keep; ++c)
-        US[size_t(r) * keep + c] = U[size_t(r) * k + c] * S[c];
-    Tensor& L = chain[i - 1];
-    Tensor out;
-    out.resize(L.a, L.g, keep);
-    matmul(L.data.data(), US.data(), out.data.data(), L.a * L.g, L.b, keep);
-    chain[i] = std::move(nt);
-    chain[i - 1] = std::move(out);
-  }
-}
-
-// multiply a new time step's influence factors into the chain
-void apply_layer(std::vector<Tensor>& chain, const cplx* b0, const cplx* bD,
-                 const int* d_of_g, int G, int D, int w_eff) {
-  int W = int(chain.size());
-  int start = std::max(0, W - w_eff);
-  for (int j = start; j < W; ++j) {
-    Tensor& P = chain[j];
-    int delta = W - j;
-    const cplx* B = bD + size_t(delta - 1) * D * G;  // (D, G)
-    Tensor T;
-    if (j == start) {
-      // T(l, g, r*D + c) = P(l,g,r) * B(c,g)
-      T.resize(P.a, G, P.b * D);
-      for (int l = 0; l < P.a; ++l)
-        for (int g = 0; g < G; ++g)
-          for (int r = 0; r < P.b; ++r) {
-            cplx p = P.at(l, g, r);
-            for (int c = 0; c < D; ++c)
-              T.at(l, g, r * D + c) = p * B[size_t(c) * G + g];
-          }
-    } else {
-      // block-diagonal in c: T(l*D+c, g, r*D+c) = P(l,g,r) * B(c,g)
-      T.resize(P.a * D, G, P.b * D);
-      for (int l = 0; l < P.a; ++l)
-        for (int g = 0; g < G; ++g)
-          for (int r = 0; r < P.b; ++r) {
-            cplx p = P.at(l, g, r);
-            for (int c = 0; c < D; ++c)
-              T.at(l * D + c, g, r * D + c) = p * B[size_t(c) * G + g];
-          }
-    }
-    chain[j] = std::move(T);
-  }
-  // new site: emits its own d-value, weighted by the self term
-  Tensor N;
-  if (W == 0 || w_eff == 0) {
-    N.resize(1, G, 1);
-    for (int g = 0; g < G; ++g) N.at(0, g, 0) = b0[g];
-  } else {
-    N.resize(D, G, 1);
-    for (int g = 0; g < G; ++g) N.at(d_of_g[g], g, 0) = b0[g];
-  }
-  chain.push_back(std::move(N));
 }
 
 // split off the oldest site in left-canonical gauge-pinned form
@@ -563,7 +456,8 @@ void wsvd_rowmajor(std::vector<cplx>& M, int m, int n, const cplx* warm_v,
 // subspace path (wsvd_rowmajor) when shape-compatible and cheaper.
 void trunc_step(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
                 int lock, const RecMat* prev, RecMat* rec,
-                std::vector<cplx>& V, std::vector<cplx>& C, int& keep) {
+                std::vector<cplx>& V, std::vector<cplx>& C, int& keep,
+                bool allow_rsvd = true) {
   std::vector<cplx> U, Vh;
   std::vector<double> S;
   int k_target = (lock > 0 ? lock + 16 : chi_max + 32);
@@ -575,12 +469,30 @@ void trunc_step(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
   // darkmodel n_mem=102) for zero wall-clock gain (shape flicker starved
   // the path)
   double tp0 = g_prof ? now_s() : 0;
-  if (lock > 0 && prev && prev->k > 0 && prev->n == n
+  // adaptive randomized-SVD target at unlocked bonds: the previous
+  // iteration's kept rank at this bond (lag-1 rec, available because
+  // alignment targets are threaded pre-detection too) plus a growth margin —
+  // the fixed chi_max+32 target pays ~1.3-1.6x extra gemm work once bonds
+  // settle below the cap.  A kept rank crowding the adaptive target retries
+  // at the full target (rank growth must never be silently clipped).
+  int kt = k_target;
+  if (lock <= 0 && prev && prev->k > 0 && prev->n == n)
+    kt = std::min(k_target, prev->k + 48);
+  if (allow_rsvd && lock > 0 && prev && prev->k > 0 && prev->n == n
       && prev->k + n_over + 8 < std::min(m, n)) {
     wsvd_rowmajor(M, m, n, prev->v.data(), prev->k, n_over, U, S, Vh);
     if (g_prof) { g_prof->w_s += now_s() - tp0; g_prof->w_n += 1; }
-  } else if (m > 2 * k_target && n > k_target) {
-    rsvd_rowmajor(M, m, n, k_target, U, S, Vh);
+  } else if (allow_rsvd && m > 2 * kt && n > kt) {
+    for (;;) {
+      rsvd_rowmajor(M, m, n, kt, U, S, Vh);
+      if (lock > 0 || kt >= k_target) break;
+      int kk = int(S.size()), kept = 0;
+      if (kk > 0 && S[0] > 0)
+        for (int c = 0; c < kk; ++c)
+          if (S[c] > S[0] * thr) ++kept;
+      if (kept < kt - 16) break;
+      kt = k_target;
+    }
     if (g_prof) { g_prof->r_s += now_s() - tp0; g_prof->r_n += 1; }
   } else {
     svd_pinned(M, m, n, U, S, Vh);
@@ -696,6 +608,7 @@ void trunc_step_lr(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
 
 struct PtinfState {
   int G = 0, D = 0, n_bD = 0, w_eff = 0, chi_max = 0, max_period = 0;
+  bool exact_only = false;  // finite builder: no randomized SVD paths
   std::vector<cplx> b0;          // (G)
   std::vector<cplx> bD;          // (n_bD, D, G)
   std::vector<int> d_of_g;       // (G)
@@ -705,6 +618,7 @@ struct PtinfState {
   std::vector<RecSet> hist1, hist2;            // [phase][site]
   std::vector<std::vector<int>> lock1, lock2;  // [phase][site], 0 = unlocked
   std::deque<std::pair<RecSet, RecSet>> recent;  // pre-detection ring
+  RecSet last1, last2;   // lag-1 recs: pre-detection alignment + adaptive kt
   ProfClock prof;
   bool capped = false;  // any unlocked truncation bound by chi_max (g_capped)
 };
@@ -747,7 +661,8 @@ void ptinf_zip_sweep(PtinfState& st, double thr, RecSet* prev, RecSet* rec,
   for (int j = W; j > start; --j) {
     int a = cur.a, b = cur.b, keep = 0;
     trunc_step(cur.data, a, G * b, thr, st.chi_max, lock_at(lock, j),
-               prev_at(prev, j), rec ? rec_at(*rec, j) : nullptr, V, C, keep);
+               prev_at(prev, j), rec ? rec_at(*rec, j) : nullptr, V, C, keep,
+               !st.exact_only);
     Tensor& oj = out[j];
     oj.a = keep; oj.g = G; oj.b = b;
     oj.data.assign(V.begin(), V.end());
@@ -804,7 +719,8 @@ void ptinf_zip_sweep(PtinfState& st, double thr, RecSet* prev, RecSet* rec,
     Tensor& T = out[i];
     int keep = 0;
     trunc_step(T.data, T.a, G * T.b, thr, st.chi_max, lock_at(lock, i),
-               prev_at(prev, i), rec ? rec_at(*rec, i) : nullptr, V, C, keep);
+               prev_at(prev, i), rec ? rec_at(*rec, i) : nullptr, V, C, keep,
+               !st.exact_only);
     Tensor nt;
     nt.a = keep; nt.g = G; nt.b = T.b;
     nt.data.assign(V.begin(), V.end());
@@ -889,32 +805,126 @@ void ptinf_lwin(const PtinfState& st, std::vector<cplx>& L, int& la, int& lk) {
 
 extern "C" {
 
-// Build the per-step PT tensors.  Outputs are written padded to
-// (n_steps, chi_pad, G, chi_pad) row-major complex<double> with the true
-// dims in out_dims (n_steps, 2).  Returns 0 on success, -1 if any emitted
-// bond exceeds chi_pad (caller should retry with a larger pad).
-int pt_build(int n_steps, int n_mem, int G, int D, int w_eff,
-             const cplx* b0, const cplx* bD, const int* d_of_g,
-             double threshold, int chi_max, int chi_pad,
-             cplx* out, int* out_dims) {
+// Build the per-step PT tensors — the finite-horizon streaming builder, C++
+// twin of pyaceqd_tpu/engine/ptmpo.py::build_pt_tensors (same two-sweep
+// structure as the stationary stepper: fused zip-layer R->L at thr*0.1 +
+// exact L->R SVD truncation sweep at thr; all-exact SVDs — no randomized
+// paths on the finite path), with per-step norm stripping, exact truncation
+// of the final flushed frontier, and converged-emission tiling (weighted
+// drift <= tile_tol for 3 consecutive emissions -> the remaining emissions
+// are tiles of the converged tensor).
+//
+// Outputs are written padded to (n_steps, chi_pad, G, chi_pad) row-major
+// complex<double> with the true dims in out_dims (n_steps, 2).
+// info_out[0] = emission index tiling started at (-1 if the full horizon
+// was built).  Returns 0 on success (1 = success with the chi cap binding
+// some truncation), -1 if any emitted bond exceeds chi_pad, -2 internal.
+int pt_build2(int n_steps, int n_mem, int G, int D, int w_eff,
+              const cplx* b0, const cplx* bD, const int* d_of_g,
+              double threshold, int chi_max, int chi_pad, double tile_tol,
+              cplx* out, int* out_dims, int* info_out) {
   g_capped = false;
-  std::vector<Tensor> chain;
+  info_out[0] = -1;
+  PtinfState st;
+  st.G = G; st.D = D; st.n_bD = n_mem - 1; st.w_eff = w_eff;
+  st.chi_max = chi_max;
+  // the zip's m-gated randomized-SVD path (trunc_step: only when the row
+  // count far exceeds any survivable rank) is required at weight-2 bath
+  // shapes: the exact zgesdd at (chi*D x G*chi) ~ (640 x 1152) costs 6.1 s
+  // PER SITE on this host (measured) vs ~0.3 s randomized — the stationary
+  // engine has always used it and the exact-IBM gate (8e-7) holds.  Set
+  // PYACEQD_TPU_NATIVE_EXACT=1 to force all-exact SVDs for referee runs.
+  {
+    const char* e = std::getenv("PYACEQD_TPU_NATIVE_EXACT");
+    st.exact_only = (e && e[0] == '1');
+  }
+  st.b0.assign(b0, b0 + G);
+  st.bD.assign(bD, bD + size_t(std::max(n_mem - 1, 1)) * D * G);
+  st.d_of_g.assign(d_of_g, d_of_g + G);
   std::vector<Tensor> emitted;
   emitted.reserve(n_steps);
+  const int n_emit = std::max(0, n_steps - n_mem + 1);
+  Tensor prevQ;
+  int streak = 0;
   for (int step = 0; step < n_steps; ++step) {
-    int touched = std::min(int(chain.size()), w_eff);
-    apply_layer(chain, b0, bD, d_of_g, G, D, w_eff);
-    int seg = std::max(0, int(chain.size()) - 1 - touched);
-    svd_sweep_rl(chain, threshold * 0.1, chi_max, seg, /*use_rsvd=*/true);
-    qr_sweep_lr(chain, seg);
-    svd_sweep_rl(chain, threshold, chi_max, seg);
-    qr_sweep_lr(chain, seg);
-    if (int(chain.size()) == n_mem) emitted.push_back(emit(chain));
+    ptinf_zip_sweep(st, threshold * 0.1, nullptr, nullptr, nullptr);
+    ptinf_svd_sweep_lr(st, threshold, nullptr, nullptr, nullptr);
+    if (int(st.chain.size()) == n_mem) {
+      Tensor Q = emit(st.chain);
+      // strip the accumulated global norm (pure global scale on the final
+      // flush tensor, which the assembler rescales; required both for
+      // float-range safety and for emission-convergence detection)
+      Tensor& last = st.chain.back();
+      double s = 0.0;
+      for (const cplx& x : last.data) s += std::norm(x);
+      s = std::sqrt(s);
+      if (s > 0)
+        for (cplx& x : last.data) x /= s;
+      if (tile_tol > 0 && prevQ.a == Q.a && prevQ.g == Q.g
+          && prevQ.b == Q.b) {
+        double raw = 0.0;
+        for (size_t i = 0; i < Q.data.size(); ++i)
+          raw = std::max(raw, std::abs(Q.data[i] - prevQ.data[i]));
+        double drift = raw;
+        if (raw <= 1e-3 && raw > tile_tol) {
+          // weighted drift: contract the right bond through the window's
+          // Schmidt left-factor (elementwise wobble in near-weightless
+          // truncation directions does not propagate into observables)
+          std::vector<cplx> L;
+          int la = 0, lk = 0;
+          ptinf_lwin(st, L, la, lk);           // la == Q.b by construction
+          if (la == Q.b) {
+            std::vector<cplx> Dq(Q.data.size());
+            for (size_t i = 0; i < Q.data.size(); ++i)
+              Dq[i] = Q.data[i] - prevQ.data[i];
+            std::vector<cplx> DL(size_t(Q.a) * Q.g * lk);
+            std::vector<cplx> QL(size_t(Q.a) * Q.g * lk);
+            matmul(Dq.data(), L.data(), DL.data(), Q.a * Q.g, Q.b, lk);
+            matmul(Q.data.data(), L.data(), QL.data(), Q.a * Q.g, Q.b, lk);
+            double dn = 0, qn = 0;
+            for (const cplx& x : DL) dn += std::norm(x);
+            for (const cplx& x : QL) qn += std::norm(x);
+            drift = std::sqrt(dn) / std::sqrt(qn > 0 ? qn : 1.0);
+          }
+        }
+        streak = (drift <= tile_tol) ? streak + 1 : 0;
+      } else {
+        streak = 0;
+      }
+      prevQ = Q;
+      emitted.push_back(std::move(Q));
+      if (streak >= 3 && int(emitted.size()) < n_emit) {
+        info_out[0] = int(emitted.size());
+        while (int(emitted.size()) < n_emit) emitted.push_back(prevQ);
+        break;
+      }
+    }
   }
-  // left-canonicalize the flushed tail: only the last tensor keeps the
-  // accumulated global norm (the Python assembler rescales it)
-  qr_sweep_lr(chain, 0);
-  for (auto& t : chain) emitted.push_back(std::move(t));
+  // exact truncation of the flushed frontier: the chain's interior working
+  // bonds (~cap) otherwise land untruncated in the emitted stack and set the
+  // padded DEVICE propagation width (measured: interior ~104-122 vs emitted
+  // chi=25 on the biexciton bench bath).  Right-canonicalize via LQ (weight
+  // to the left; exact — truncation quality depends only on the Gram
+  // structure), then one exact L->R SVD sweep at the build threshold.
+  if (st.chain.size() >= 2) {
+    for (int i = int(st.chain.size()) - 1; i > 0; --i) {
+      Tensor& T = st.chain[i];
+      std::vector<cplx> L, Qr;
+      int kr = 0;
+      lq_rowmajor(T.data, T.a, T.g * T.b, L, Qr, kr);
+      Tensor nt;
+      nt.a = kr; nt.g = T.g; nt.b = T.b; nt.data = std::move(Qr);
+      Tensor& Lt = st.chain[i - 1];
+      Tensor res;
+      res.resize(Lt.a, Lt.g, kr);
+      matmul(Lt.data.data(), L.data(), res.data.data(), Lt.a * Lt.g, Lt.b,
+             kr);
+      st.chain[i] = std::move(nt);
+      st.chain[i - 1] = std::move(res);
+    }
+    ptinf_svd_sweep_lr(st, threshold, nullptr, nullptr, nullptr);
+  }
+  for (auto& t : st.chain) emitted.push_back(std::move(t));
   if (int(emitted.size()) != n_steps) return -2;
   for (int i = 0; i < n_steps; ++i) {
     Tensor& T = emitted[i];
@@ -982,10 +992,17 @@ int ptinf_step(void* h, double thr, cplx* q_out, int* q_dims,
   const int ph = st.period > 0 ? int(st.emitted % st.period) : 0;
   const bool use_prev = st.period > 0;
   RecSet rec1, rec2;
-  ptinf_zip_sweep(st, thr * 0.1, use_prev ? &st.hist1[ph] : nullptr, &rec1,
+  // pre-detection: align to the LAG-1 recs (pure bond gauge — the Schmidt
+  // spectra driving period detection are invariant) and let trunc_step size
+  // its randomized projection from the lag-1 kept ranks
+  RecSet* prev1 = use_prev ? &st.hist1[ph]
+                           : (st.last1.empty() ? nullptr : &st.last1);
+  RecSet* prev2 = use_prev ? &st.hist2[ph]
+                           : (st.last2.empty() ? nullptr : &st.last2);
+  ptinf_zip_sweep(st, thr * 0.1, prev1, &rec1,
                   use_prev ? &st.lock1[ph] : nullptr);
   tick(st.prof.zip);
-  ptinf_svd_sweep_lr(st, thr, use_prev ? &st.hist2[ph] : nullptr, &rec2,
+  ptinf_svd_sweep_lr(st, thr, prev2, &rec2,
                      use_prev ? &st.lock2[ph] : nullptr);
   tick(st.prof.svd);
   st.capped = st.capped || g_capped;
@@ -996,7 +1013,13 @@ int ptinf_step(void* h, double thr, cplx* q_out, int* q_dims,
     st.prof.max_bond = std::max(st.prof.max_bond, mb);
     st.prof.sum_bond += mb;
   }
-  if (int(st.chain.size()) <= st.w_eff) return 0;
+  if (int(st.chain.size()) <= st.w_eff) {
+    if (!use_prev) {
+      st.last1 = std::move(rec1);
+      st.last2 = std::move(rec2);
+    }
+    return 0;
+  }
   Tensor Q = emit(st.chain);
   // strip the accumulated window norm (pure global scale; emissions are QR
   // frames and never carry it — prevents float overflow over long transients)
@@ -1010,6 +1033,8 @@ int ptinf_step(void* h, double thr, cplx* q_out, int* q_dims,
     st.hist1[ph] = std::move(rec1);
     st.hist2[ph] = std::move(rec2);
   } else {
+    st.last1 = rec1;
+    st.last2 = rec2;
     st.recent.emplace_back(std::move(rec1), std::move(rec2));
     if (int(st.recent.size()) > st.max_period) st.recent.pop_front();
   }

@@ -584,6 +584,7 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
     drift = float("inf")
     aligned_done = 0
     since_check = 0
+    floor_runs = 0
     stall_ref = None
     prev_stall = None
     spec_period = None
@@ -664,7 +665,14 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
             aL = np.einsum('agb,br->agr', ap, Lp)
             na = np.linalg.norm(aL)
             drift = float(np.linalg.norm(dL) / (na if na > 0 else 1.0))
+            # consecutive checks at/below the noise floor: accept without
+            # waiting for the stall heuristics (the stall path accepted the
+            # same tolerance, just ~2 stall windows = ~24 iterations later —
+            # measured 36 aligned iters -> ~12 on the biexciton bench bath
+            # at identical residual class)
+            floor_runs = floor_runs + 1 if drift <= steady_tol else 0
             if (drift <= elem_tol
+                    or floor_runs >= max(period + 2, 3)
                     or (aligned_done >= align_budget
                         and drift <= steady_tol)):
                 break

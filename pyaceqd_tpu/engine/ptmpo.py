@@ -205,19 +205,6 @@ def _qr_sweep_lr(chain, start=0):
     return chain
 
 
-def _svd_sweep_rl(chain, thr, chi_max, stop=0, stats=None):
-    for i in range(len(chain) - 1, stop, -1):
-        a, g, b = chain[i].shape
-        U, S, Vh = np.linalg.svd(chain[i].reshape(a, g * b), full_matrices=False)
-        keep = int(np.sum(S > S[0] * thr)) if S[0] > 0 else 1
-        if stats is not None and keep > chi_max:
-            stats["capped"] = True
-        keep = max(1, min(chi_max, keep))
-        chain[i] = Vh[:keep].reshape(keep, g, b)
-        chain[i - 1] = np.einsum('agb,bc->agc', chain[i - 1], U[:, :keep] * S[:keep])
-    return chain
-
-
 def _emit(chain):
     """Split off the oldest site in left-canonical form (gauge-pinned QR)."""
     a, g, b = chain[0].shape
@@ -228,25 +215,83 @@ def _emit(chain):
     return emitted, chain
 
 
+def _strip_norm(chain):
+    """Divide out the chain's accumulated global norm (held at the rightmost
+    site after the L->R truncation sweep).  A per-step scalar rescale is a
+    single global factor on the final flush tensor, which the assembler
+    rescales anyway (exactly invariant under the caps normalization); without
+    it the raw chain norm grows geometrically (~3x/step measured for the
+    biexciton bath) and emitted-tensor convergence cannot be detected."""
+    s = float(np.linalg.norm(chain[-1]))
+    if s > 0:
+        chain[-1] = chain[-1] / s
+    return chain
+
+
+def _flush_truncate(chain, thr, chi_max):
+    """Exact threshold truncation of the final flushed frontier.
+
+    The flush tensors (the last n_mem-1 steps, whose memory windows extend
+    past the horizon) historically left the chain's INTERIOR working bonds
+    (~cap) in the emitted stack, even though the properly-truncated emission
+    bonds sit far lower (measured on the biexciton bench bath: interior
+    ~104-122 vs emitted chi=25).  Since the global stack is padded to the max
+    bond anywhere, that single untruncated tail set the DEVICE propagation
+    width to the cap — a ~(122/25)^2 ~ 24x per-step cost and memory tax on
+    every finite run.  Right-canonicalize (weight to the left), then one
+    exact L->R SVD sweep at the build threshold: globally exact Schmidt
+    truncation of the remaining object."""
+    if len(chain) < 2:
+        return chain
+    from pyaceqd_tpu.engine import ptinf
+    # weight to the left end so the L->R sweep sees exact Schmidt values
+    for i in range(len(chain) - 1, 0, -1):
+        a, g, b = chain[i].shape
+        U, S, Vh = np.linalg.svd(chain[i].reshape(a, g * b),
+                                 full_matrices=False)
+        chain[i] = Vh.reshape(len(S), g, b)
+        chain[i - 1] = np.einsum('agb,bc->agc', chain[i - 1],
+                                 U * S[None, :])
+    chain = ptinf._svd_sweep_lr(chain, thr, chi_max)
+    return chain
+
+
 def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
                      eta_cut=1e-10, verbose=False, odd_threshold_ratio=None,
-                     b0_scale=None, stats=None):
+                     b0_scale=None, stats=None, tile_tol="auto"):
     """Build the per-step PT tensors for a propagation horizon of n_steps.
 
-    The memory window is len(eta) steps, but the layer only threads through
-    the effective kernel range w_eff (|eta_Delta| > eta_cut * |eta_0|); the
-    chain is kept LEFT-canonical with the center at the newest site, so each
-    layer needs one truncation sweep + one re-canonicalization sweep over the
-    touched segment only.  The remaining frontier is flushed at the end (those
-    tensors simply have no future factors — correct for every readout within
-    the horizon).  Returns a list of n_steps tensors Q_k[chi_l, G, chi_r]
-    with chi_0 = chi_n = 1.
+    Two-sweep streaming structure shared with the stationary engine
+    (engine/ptinf.py): each step fuses the new influence layer into a
+    right-to-left zip-up truncation at threshold*0.1 (the chain arrives
+    left-canonical, so the zip's SVD inputs carry the exact right
+    environment), followed by one exact left-to-right SVD truncation sweep
+    at ``threshold`` — which ends left-canonical with the weight at the
+    right end, exactly the gauge the next zip expects, so no QR
+    re-canonicalization sweeps are needed (they were 31% of the old
+    4-sweep structure, measured).  The memory window is len(eta) steps; the
+    layer only threads through the effective kernel range w_eff
+    (|eta_Delta| > eta_cut * |eta_0|).  The remaining frontier is flushed at
+    the end and exact-truncated (see _flush_truncate).  Returns a list of
+    n_steps tensors Q_k[chi_l, G, chi_r] with chi_0 = chi_n = 1.
 
     odd_threshold_ratio emulates ACE's ``odd_threshold_ratio`` knob (the
     reference forwards "0.3", general_system.py:163): odd-index layers
     truncate at ``threshold * ratio``.  Default None = uniform threshold;
     measured impact is documented at simulate()'s docstring.
+
+    tile_tol: converged-emission tiling.  The influence layers are identical
+    every step, so past the transient the emitted tensors converge to a
+    fixed point; when the WEIGHTED emission drift
+    ||(Q_m - Q_{m-1}) L|| / ||Q_m L|| (L = the window's Schmidt left-factor,
+    the right-environment weighting propagation errors actually see) stays
+    below tile_tol for 3 consecutive emissions, the remaining emissions are
+    tiles of the converged tensor and the build stops early.  "auto" ties it
+    to the threshold (max(10*threshold, 1e-9) — strictly below every
+    accuracy gate); 0/None disables.  stats["tiled_from"] records the
+    emission index tiling started at.
     """
+    from pyaceqd_tpu.engine import ptinf
     n_mem = len(eta)
     b0, bD, d_of_g = influence_factors(eta, nu, mu)
     if b0_scale is not None:
@@ -254,33 +299,63 @@ def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
     mags = np.abs(eta)
     big = np.where(mags[1:] > eta_cut * mags[0])[0]
     w_eff = int(big[-1] + 1) if len(big) else 1
+    if tile_tol == "auto":
+        tile_tol = max(10.0 * threshold, 1e-9)
+    # tiling assumes identical per-step layers; the odd/even threshold
+    # alternation breaks that (a period-2 tile would be needed) — disable
+    if odd_threshold_ratio is not None:
+        tile_tol = 0.0
+    cap_before = ptinf._CAP_TRACK["capped"]
+    ptinf._CAP_TRACK["capped"] = False
+    n_emit = max(0, n_steps - n_mem + 1)
     chain = []
     emitted = []
+    prev_Q = None
+    streak = 0
     for step in range(n_steps):
-        touched = min(len(chain), w_eff)
-        chain = _apply_layer(chain, b0, bD, d_of_g, w_eff)
-        seg = max(0, len(chain) - 1 - touched)  # leftmost modified site index
         thr_step = threshold
         if odd_threshold_ratio is not None and step % 2 == 1:
             thr_step = threshold * float(odd_threshold_ratio)
-        # zip-up truncation right-to-left on the inflated tensors (cheap:
-        # right bonds are already truncated when each site is reached; mildly
-        # suboptimal since the left part is not re-canonicalized yet, so use
-        # a tighter threshold), then canonicalize and truncate properly
-        chain = _svd_sweep_rl(chain, thr_step * 0.1, chi_max, stop=seg,
-                              stats=stats)
-        chain = _qr_sweep_lr(chain, start=seg)
-        chain = _svd_sweep_rl(chain, thr_step, chi_max, stop=seg, stats=stats)
-        chain = _qr_sweep_lr(chain, start=seg)
+        chain = ptinf._zip_layer_sweep(chain, b0, bD, d_of_g, w_eff,
+                                       thr_step * 0.1, chi_max)
+        chain = ptinf._svd_sweep_lr(chain, thr_step, chi_max)
         if len(chain) == n_mem:
             Q, chain = _emit(chain)
+            chain = _strip_norm(chain)
             emitted.append(Q)
-    # left-canonicalize the flushed tail so ONLY the final tensor carries the
-    # accumulated global norm (which can exceed float32 range over long
-    # horizons); the assembler rescales that single tensor, which is exactly
-    # invariant under the caps normalization
-    chain = _qr_sweep_lr(chain, start=0)
+            if tile_tol and prev_Q is not None and Q.shape == prev_Q.shape:
+                raw = float(np.max(np.abs(Q - prev_Q)))
+                drift = raw
+                if raw <= 1e-3 and raw > tile_tol:
+                    # weighted drift: contract the right bond through the
+                    # window's Schmidt left-factor — elementwise wobble in
+                    # near-weightless truncation directions does not
+                    # propagate into observables (same metric as the
+                    # stationary engine's build_residual)
+                    L = ptinf._right_canonicalize(chain)[0]
+                    dL = np.linalg.norm(
+                        np.einsum('agb,bk->agk', Q - prev_Q, L))
+                    nL = np.linalg.norm(np.einsum('agb,bk->agk', Q, L))
+                    drift = dL / (nL if nL > 0 else 1.0)
+                streak = streak + 1 if drift <= tile_tol else 0
+            else:
+                streak = 0
+            prev_Q = Q
+            if streak >= 3 and len(emitted) < n_emit:
+                if stats is not None:
+                    stats["tiled_from"] = len(emitted)
+                if verbose:
+                    print(f"[ptmpo] emissions converged at {len(emitted)}/"
+                          f"{n_emit} (weighted drift <= {tile_tol:.1e}); "
+                          f"tiling the rest")
+                emitted.extend([Q] * (n_emit - len(emitted)))
+                break
+    chain = _flush_truncate(chain, threshold, chi_max)
     emitted.extend(chain)
+    if stats is not None:
+        stats["capped"] = (stats.get("capped", False)
+                           or ptinf._CAP_TRACK["capped"])
+    ptinf._CAP_TRACK["capped"] = cap_before or ptinf._CAP_TRACK["capped"]
     assert len(emitted) == n_steps
     return emitted
 

@@ -60,8 +60,11 @@ def get_lib(auto_build=True):
     if os.environ.get("PYACEQD_TPU_NATIVE", "1") == "0":
         return None
     path = _lib_path()
-    if not os.path.exists(path) and auto_build:
-        if not _build_lib():
+    src = os.path.join(os.path.dirname(path), "ptmpo_native.cpp")
+    stale = (os.path.exists(path) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(path))
+    if (not os.path.exists(path) or stale) and auto_build:
+        if not _build_lib() and not os.path.exists(path):
             return None
     if not os.path.exists(path):
         return None
@@ -77,11 +80,14 @@ def get_lib(auto_build=True):
     c128 = np.ctypeslib.ndpointer(np.complex128, flags="C_CONTIGUOUS")
     f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
     i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-    lib.pt_build.restype = ctypes.c_int
-    lib.pt_build.argtypes = [
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        c128, c128, i32, ctypes.c_double, ctypes.c_int, ctypes.c_int,
-        c128, i32]
+    try:
+        lib.pt_build2.restype = ctypes.c_int
+        lib.pt_build2.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, c128, c128, i32, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, c128, i32, i32]
+    except AttributeError:  # pragma: no cover - stale pre-v2 library
+        pass
     lib.ptinf_new.restype = ctypes.c_void_p
     lib.ptinf_new.argtypes = [ctypes.c_int] * 6 + [c128, c128, i32]
     lib.ptinf_step.restype = ctypes.c_int
@@ -182,15 +188,18 @@ class NativePtinfStepper:
 
 def build_pt_tensors_native(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
                             eta_cut=1e-10, verbose=False, b0_scale=None,
-                            stats=None):
-    """Native equivalent of engine.ptmpo.build_pt_tensors.
+                            stats=None, tile_tol="auto"):
+    """Native equivalent of engine.ptmpo.build_pt_tensors (same two-sweep
+    structure, flush truncation, and converged-emission tiling — see that
+    docstring).
 
     Returns a list of n_steps (chi_l, G, chi_r) complex tensors, or None if
     the native library is unavailable (caller falls back to numpy).
-    stats, if a dict, receives ``capped``: whether chi_max (not the SVD
-    threshold) bound any truncation (same contract as the numpy builder)."""
+    stats, if a dict, receives ``capped`` (whether chi_max, not the SVD
+    threshold, bound any truncation) and ``tiled_from`` (emission index
+    tiling started at, when it fired) — same contract as the numpy builder."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or not hasattr(lib, "pt_build2"):
         return None
     from pyaceqd_tpu.engine.ptmpo import influence_factors
     n_mem = len(eta)
@@ -202,6 +211,9 @@ def build_pt_tensors_native(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
     mags = np.abs(eta)
     big = np.where(mags[1:] > eta_cut * mags[0])[0]
     w_eff = int(big[-1] + 1) if len(big) else 1
+    if tile_tol == "auto":
+        tile_tol = max(10.0 * float(threshold), 1e-9)
+    tile_tol = float(tile_tol or 0.0)
 
     b0 = np.ascontiguousarray(b0, dtype=np.complex128)
     bD = np.ascontiguousarray(bD, dtype=np.complex128)
@@ -212,18 +224,21 @@ def build_pt_tensors_native(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
     chi_pad = int(chi_max)
     out = np.zeros((n_steps, chi_pad, G, chi_pad), dtype=np.complex128)
     dims = np.zeros((n_steps, 2), dtype=np.int32)
-    rc = lib.pt_build(n_steps, n_mem, G, D, w_eff, b0, bD.reshape(-1),
-                      d_of_g, float(threshold), int(chi_max), chi_pad,
-                      out.reshape(-1), dims.reshape(-1))
+    info = np.zeros(2, dtype=np.int32)
+    rc = lib.pt_build2(n_steps, n_mem, G, D, w_eff, b0, bD.reshape(-1),
+                       d_of_g, float(threshold), int(chi_max), chi_pad,
+                       tile_tol, out.reshape(-1), dims.reshape(-1), info)
     if rc == -1:  # a bond exceeded the pad (shouldn't happen: pad == chi_max)
         chi_pad = 2 * chi_pad
         out = np.zeros((n_steps, chi_pad, G, chi_pad), dtype=np.complex128)
-        rc = lib.pt_build(n_steps, n_mem, G, D, w_eff, b0, bD.reshape(-1),
-                          d_of_g, float(threshold), int(chi_max), chi_pad,
-                          out.reshape(-1), dims.reshape(-1))
+        rc = lib.pt_build2(n_steps, n_mem, G, D, w_eff, b0, bD.reshape(-1),
+                           d_of_g, float(threshold), int(chi_max), chi_pad,
+                           tile_tol, out.reshape(-1), dims.reshape(-1), info)
     if rc not in (0, 1):  # 1 = success with the cap binding somewhere
         return None
     if stats is not None:
         stats["capped"] = rc == 1
+        if info[0] >= 0:
+            stats["tiled_from"] = int(info[0])
     return [np.ascontiguousarray(out[i, :dims[i, 0], :, :dims[i, 1]])
             for i in range(n_steps)]

@@ -387,8 +387,21 @@ class TwoPhotonTimebinNew(TimeBin):
             # reference's warning).  The extension guards configs whose
             # pulse window ends closer to the gaussian_t+10 horizon.
             t_mem = float(self.options.get("t_mem", 20.48))
-            t_dm = min(max(t_dm, 2.1 * ((self.gaussian_t or 0.0) + t_mem)),
-                       float(self.tb))
+            # cap the extension at tb, but never BELOW the non-phonon
+            # baseline t_dm: when tb < gaussian_t + 10 (pulse window
+            # comparable to the bin — a degenerate time-bin protocol) the
+            # cap must not truncate the maps inside the pulse region
+            # (ADVICE r3)
+            t_dm_ext = min(2.1 * ((self.gaussian_t or 0.0) + t_mem),
+                           float(self.tb))
+            if t_dm > float(self.tb):
+                import warnings
+                warnings.warn(
+                    "time-bin tl path: pulse window gaussian_t+10 = "
+                    f"{t_dm:.1f} exceeds the bin length tb = {self.tb:.1f}; "
+                    "this configuration is likely invalid for the time-bin "
+                    "protocol (pulses overlap the bin boundary)")
+            t_dm = max(t_dm, t_dm_ext)
         result1, dm1 = self.system(0, t_dm, calc_dynmap=True, **options_new)
         options_new["pulse_file_x"] = self.pulse_file_x2
         options_new["pulse_file_y"] = self.pulse_file_y2

@@ -122,8 +122,17 @@ def hostsafe(fn=None, *, static_argnames=()):
 
     # expose the plain jitted callable for AOT introspection (.lower ->
     # compiled HLO) on CPU/virtual-mesh runs, e.g. the bench's collective
-    # audit of sharded sweep programs
-    wrapper._jitted = jitted_plain
+    # audit of sharded sweep programs.  Precision must settle here too: a
+    # process whose FIRST jit entry goes through _jitted would otherwise
+    # canonicalize entry avals under the pre-init x64 setting (ADVICE r3).
+    @functools.wraps(fn)
+    def jitted_settled(*args, **kwargs):
+        config.precision()
+        return jitted_plain(*args, **kwargs)
+
+    jitted_settled.lower = lambda *a, **k: (config.precision(),
+                                            jitted_plain.lower(*a, **k))[1]
+    wrapper._jitted = jitted_settled
     return wrapper
 
 
@@ -131,6 +140,7 @@ def device_get(x):
     """Fetch an array to host NumPy, routing complex through a float split."""
     if x is None:
         return None
+    config.precision()   # settle x64 before the inline jit (ADVICE r3)
     if _needs_hostsafe() and _is_complex_leaf(x):
         re, im = jax.jit(lambda a: (jnp.real(a), jnp.imag(a)))(x)
         return np.asarray(re) + 1j * np.asarray(im)
