@@ -457,7 +457,7 @@ void wsvd_rowmajor(std::vector<cplx>& M, int m, int n, const cplx* warm_v,
 void trunc_step(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
                 int lock, const RecMat* prev, RecMat* rec,
                 std::vector<cplx>& V, std::vector<cplx>& C, int& keep,
-                bool allow_rsvd = true) {
+                bool allow_rsvd = true, bool do_align = true) {
   std::vector<cplx> U, Vh;
   std::vector<double> S;
   int k_target = (lock > 0 ? lock + 16 : chi_max + 32);
@@ -516,7 +516,7 @@ void trunc_step(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
   for (int r = 0; r < m; ++r)
     for (int c = 0; c < keep; ++c)
       C[size_t(r) * keep + c] = U[size_t(r) * k + c] * S[c];
-  if (prev && prev->k == keep && prev->n == n) {
+  if (do_align && prev && prev->k == keep && prev->n == n) {
     // O = prev @ V^H (keep,keep); rotate V inside its span: V <- P V,
     // C <- C P^H (pure gauge, keeps the iteration a continuous map)
     std::vector<cplx> O(size_t(keep) * keep), P;
@@ -544,7 +544,8 @@ void trunc_step(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
 // (a*G, b<=chi) — the full zgesdd is already the cheap direction.
 void trunc_step_lr(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
                    int lock, const RecMat* prev, RecMat* rec,
-                   std::vector<cplx>& U_out, std::vector<cplx>& C, int& keep) {
+                   std::vector<cplx>& U_out, std::vector<cplx>& C, int& keep,
+                   bool do_align = true) {
   std::vector<cplx> U, Vh;
   std::vector<double> S;
   double tp0 = g_prof ? now_s() : 0;
@@ -583,7 +584,7 @@ void trunc_step_lr(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
   for (int c = 0; c < keep; ++c)
     for (int j = 0; j < n; ++j)
       C[size_t(c) * n + j] = S[c] * Vh[size_t(c) * n + j];
-  if (prev && prev->k == keep && prev->n == m) {
+  if (do_align && prev && prev->k == keep && prev->n == m) {
     // O = prev (keep,m) @ U (m,keep); R = polar(O)^H rotates U toward prev:
     // U <- U R = U P^H, C <- P C (pure gauge: U C invariant)
     std::vector<cplx> O(size_t(keep) * keep), P;
@@ -609,6 +610,11 @@ void trunc_step_lr(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
 struct PtinfState {
   int G = 0, D = 0, n_bD = 0, w_eff = 0, chi_max = 0, max_period = 0;
   bool exact_only = false;  // finite builder: no randomized SVD paths
+  bool align_now = true;    // apply polar gauge alignment this iteration
+  //   (pre-detection iterations thread lag-1 recs for the adaptive rsvd
+  //   rank target ONLY: aligning before the locks are seeded perturbs the
+  //   gauge trajectory — measured: a clean period-1/7.6e-7 biexciton-bath
+  //   build turned into a period-doubling stall at 3.1e-5)
   std::vector<cplx> b0;          // (G)
   std::vector<cplx> bD;          // (n_bD, D, G)
   std::vector<int> d_of_g;       // (G)
@@ -662,7 +668,7 @@ void ptinf_zip_sweep(PtinfState& st, double thr, RecSet* prev, RecSet* rec,
     int a = cur.a, b = cur.b, keep = 0;
     trunc_step(cur.data, a, G * b, thr, st.chi_max, lock_at(lock, j),
                prev_at(prev, j), rec ? rec_at(*rec, j) : nullptr, V, C, keep,
-               !st.exact_only);
+               !st.exact_only, st.align_now);
     Tensor& oj = out[j];
     oj.a = keep; oj.g = G; oj.b = b;
     oj.data.assign(V.begin(), V.end());
@@ -720,7 +726,7 @@ void ptinf_zip_sweep(PtinfState& st, double thr, RecSet* prev, RecSet* rec,
     int keep = 0;
     trunc_step(T.data, T.a, G * T.b, thr, st.chi_max, lock_at(lock, i),
                prev_at(prev, i), rec ? rec_at(*rec, i) : nullptr, V, C, keep,
-               !st.exact_only);
+               !st.exact_only, st.align_now);
     Tensor nt;
     nt.a = keep; nt.g = G; nt.b = T.b;
     nt.data.assign(V.begin(), V.end());
@@ -753,7 +759,7 @@ void ptinf_svd_sweep_lr(PtinfState& st, double thr, RecSet* prev, RecSet* rec,
     int keep = 0;
     trunc_step_lr(T.data, T.a * T.g, T.b, thr, st.chi_max, lock_at(lock, i),
                   prev_at(prev, i), rec ? rec_at(*rec, i) : nullptr, U, C,
-                  keep);
+                  keep, st.align_now);
     Tensor nt;
     nt.a = T.a; nt.g = T.g; nt.b = keep;
     nt.data.assign(U.begin(), U.end());
@@ -999,6 +1005,7 @@ int ptinf_step(void* h, double thr, cplx* q_out, int* q_dims,
                            : (st.last1.empty() ? nullptr : &st.last1);
   RecSet* prev2 = use_prev ? &st.hist2[ph]
                            : (st.last2.empty() ? nullptr : &st.last2);
+  st.align_now = use_prev;
   ptinf_zip_sweep(st, thr * 0.1, prev1, &rec1,
                   use_prev ? &st.lock1[ph] : nullptr);
   tick(st.prof.zip);

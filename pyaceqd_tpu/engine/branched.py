@@ -491,3 +491,106 @@ def batched_dynmap_runs(task: Task, mtos, mto_times, chunk=32):
         # dynamical maps back to the lab basis: E_lab = T^dagger E_rot T
         maps = np.einsum('ij,bnjk,kl->bnil', T.conj().T, maps, T)
     return maps
+
+
+# ---------------------------------------------------------------------------
+# windowed PT segments (phonon-correct time-bin tl fast path)
+# ---------------------------------------------------------------------------
+
+@hostsafe(static_argnames=("mto_before", "has_diss", "L"))
+def _vmapped_window_pt_core(stack, caps, g_of_s, U_full, E_half, rho0_batch,
+                            s0_batch, W, mto_sops, mto_ks_batch, gather_ks,
+                            mto_before=(), has_diss=True, L=0):
+    """Per-lane WINDOWED PT propagation.
+
+    Every lane slices its own L-step window of the full background unitary
+    sequence at offset ``s0``, starts from a FACTORIZED bath at its own
+    system state ``rho0`` and runs the PT chain from the PT's OWN step 0 —
+    a factorized-bath restart whose initial slip is the PT's own dressing
+    transient, decayed within t_mem.  Placing every restart and environment
+    closure at least one memory time away from any operator insertion is
+    what makes the time-bin tl fast path phonon-correct (the reference's tl
+    path extracts time-local maps and warns it "will give wrong results"
+    with phonons, /root/reference/pyaceqd/timebin/twophoton_new.py:568-577;
+    see timebin/twophoton_new.py::eightops_phonon).
+
+    mto_ks_batch / gather_ks are WINDOW-RELATIVE step indices; outputs row g
+    is W @ (caps-closed state) gathered pre-event at index gather_ks[g]
+    (index L = after the full window).  Returns (B, g, n_out)."""
+    d = U_full.shape[1]
+    d2 = d * d
+    chi = stack.shape[1]
+    n_mto = len(mto_before)
+
+    def one_run(rho0_vec, s0, mks, gks):
+        zero = jnp.zeros((), dtype=s0.dtype)
+        Uw = jax.lax.dynamic_slice(U_full, (s0, zero, zero), (L, d, d))
+
+        def apply_mtos(A, k, before_phase):
+            for i in range(n_mto):
+                if mto_before[i] == before_phase:
+                    A = jnp.where(k == mks[i], A @ mto_sops[i].T, A)
+            return A
+
+        def body(A, xs):
+            Uk, Qk, cap_k, k = xs
+            A = apply_mtos(A, k, True)
+            y = W @ (cap_k @ A)
+            A = apply_mtos(A, k, False)
+            if has_diss:
+                A = A @ E_half.T
+            Am = superop.vpu_sandwich(A.reshape(chi, d, d), Uk)
+            A = Am.reshape(chi, d2)
+            if has_diss:
+                A = A @ E_half.T
+            Qs = Qk[:, g_of_s, :]
+            return jnp.einsum('asb,as->bs', Qs, A), y
+
+        A0 = jnp.zeros((chi, d2), dtype=rho0_vec.dtype).at[0].set(rho0_vec)
+        ks = jnp.arange(L, dtype=jnp.int32)
+        A_f, ys = jax.lax.scan(body, A0, (Uw, stack, caps[:-1], ks))
+        A_f = apply_mtos(A_f, jnp.int32(L), True)
+        outputs = jnp.concatenate([ys, (W @ (caps[-1] @ A_f))[None]], axis=0)
+        return outputs[gks]
+
+    return jax.vmap(one_run)(rho0_batch, s0_batch, mto_ks_batch, gather_ks)
+
+
+def windowed_pt_runs(task: Task, sops, before, rho0_batch, s0_batch,
+                     mto_ks_rel, gather_rel, L, chunk=1024):
+    """Host wrapper for _vmapped_window_pt_core: clamps window offsets into
+    the task horizon (beyond the computed pulse region the background is
+    time-invariant, so a clamped window is exactly equivalent), materializes
+    the PT prefix of length L, rotates through a coupling eigenbasis when
+    present, and returns the caps-closed rho vectors (B, g, d2) in the LAB
+    basis."""
+    cdt = config.cdtype()
+    d2 = task.dim * task.dim
+    n_full = task.U.shape[0] if hasattr(task.U, "shape") else len(task.t) - 1
+    if L > n_full:
+        raise ValueError(f"window L={L} exceeds the task horizon {n_full}")
+    pt = task.pt
+    if pt is None:
+        raise ValueError("windowed_pt_runs requires a phonon task")
+    fin = pt.materialize(L) if hasattr(pt, "bulk") else pt.prefix(L)
+    sops = np.asarray(sops, dtype=cdt)
+    rho0_batch = np.asarray(rho0_batch, dtype=cdt)
+    W = np.eye(d2, dtype=cdt)
+    T = task.basis_sop
+    if T is not None:
+        sops = np.einsum('ij,njk,kl->nil', T, sops, T.conj().T).astype(cdt)
+        rho0_batch = rho0_batch @ np.asarray(T, dtype=cdt).T
+        W = np.asarray(T, dtype=cdt).conj().T
+    s0 = np.minimum(np.asarray(s0_batch, dtype=np.int32), n_full - L)
+    mk = np.asarray(mto_ks_rel, dtype=np.int32)
+    gk = np.asarray(gather_rel, dtype=np.int32)
+    B = mk.shape[0]
+    out = []
+    for lo in range(0, B, chunk):
+        hi = min(B, lo + chunk)
+        out.append(np.asarray(_vmapped_window_pt_core(
+            fin.stack.astype(cdt), fin.caps.astype(cdt),
+            np.asarray(fin.g_of_s, dtype=np.int32), task.U, task.E_half,
+            rho0_batch[lo:hi], s0[lo:hi], W, sops, mk[lo:hi], gk[lo:hi],
+            mto_before=tuple(before), has_diss=task.has_diss, L=int(L))))
+    return np.concatenate(out, axis=0)

@@ -406,8 +406,14 @@ def assemble_process_tensor(eta, g_of_s, nu, mu, counter_term, n_steps,
     """sector_norm=True enables sector-aware truncation (see sector_scales):
     the build runs on the group-boosted influence functional and the emitted
     tensors are rescaled back, protecting high-|nu-mu| coherence sectors from
-    the relative-threshold floor in long memory windows.  This is a
-    capability ACE's plain relative threshold does not have."""
+    the relative-threshold floor in long memory windows.  EXPERIMENTAL —
+    exactness is gated (tests/test_sector_norm.py) but its target pathology
+    (the r2 err-0.1125 Delta=2 sector floor at n_mem=102) was eliminated by
+    the automatic exact-metric window reduction first, and it has measured
+    NEUTRAL-to-worse in every regime tested since (darkmodel static referee:
+    plain 1.071e-2 vs sector_norm 1.066e-2 at saturated chi=128; post-
+    window-reduction 7.9e-3 vs 1.3e-2 — NOTES_round3 §4/§10).  Keep it off
+    unless a new bath demonstrably hits the relative-threshold sector floor."""
     # prefer the native (C++/LAPACK) builder; physics is identical (the two
     # backends differ only by truncation-basis gauge, see tests/test_native.py)
     m_g = sector_scales(eta, nu, mu) if sector_norm else None

@@ -193,6 +193,11 @@ def simulate(t_start, t_end, *pulses, dt=0.1, phonons=False, t_mem=20.48, ae=3.0
     couplings, else 64); 0 = ACE's threshold-only semantics (no cap —
     escalates automatically until the SVD threshold governs,
     ptmpo._unbounded_build).
+
+    ``sector_norm`` (not an ACE knob, EXPERIMENTAL): sector-aware truncation
+    (ptmpo.sector_scales).  Exactness-gated but measured neutral-to-worse in
+    every regime tested since the automatic window reduction landed
+    (ptmpo.assemble_process_tensor docstring carries the numbers); leave off.
     """
     if multitime_op is not None:
         if isinstance(multitime_op, dict):
