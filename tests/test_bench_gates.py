@@ -21,7 +21,7 @@ def _good_result():
                 {"n_devices": 8, "per_device_steps_per_sec": 950.0,
                  "hlo_collectives": []},
             ],
-            "efficiency_8dev": 0.95,
+            "total_ratio_8dev": 0.98,
             "collective_free": True,
         },
     }
@@ -59,11 +59,12 @@ def test_mesh_collective_gate_fails():
     assert any("collectives" in f for f in fails)
 
 
-def test_mesh_efficiency_gate_fails():
+def test_mesh_overhead_gate_fails():
+    # total sharded throughput below the unsharded run = sharding overhead
     r = _good_result()
-    r["mesh"]["efficiency_8dev"] = 0.4
+    r["mesh"]["total_ratio_8dev"] = 0.4
     fails = _gates()(r)
-    assert any("efficiency" in f for f in fails)
+    assert any("sharding overhead" in f for f in fails)
 
 
 def test_mesh_child_error_fails():
