@@ -585,12 +585,19 @@ def windowed_pt_runs(task: Task, sops, before, rho0_batch, s0_batch,
     mk = np.asarray(mto_ks_rel, dtype=np.int32)
     gk = np.asarray(gather_rel, dtype=np.int32)
     B = mk.shape[0]
+    # pad the batch to a chunk multiple so every device call compiles at ONE
+    # static shape per window length (callers issue many ragged batches)
+    chunk = min(chunk, 1 << (B - 1).bit_length())
+    pad = (-B) % chunk
+    if pad:
+        reps = np.concatenate([np.arange(B), np.zeros(pad, dtype=int)])
+        rho0_batch, s0, mk, gk = (a[reps] for a in (rho0_batch, s0, mk, gk))
     out = []
-    for lo in range(0, B, chunk):
-        hi = min(B, lo + chunk)
+    for lo in range(0, B + pad, chunk):
+        hi = lo + chunk
         out.append(np.asarray(_vmapped_window_pt_core(
             fin.stack.astype(cdt), fin.caps.astype(cdt),
             np.asarray(fin.g_of_s, dtype=np.int32), task.U, task.E_half,
             rho0_batch[lo:hi], s0[lo:hi], W, sops, mk[lo:hi], gk[lo:hi],
             mto_before=tuple(before), has_diss=task.has_diss, L=int(L))))
-    return np.concatenate(out, axis=0)
+    return np.concatenate(out, axis=0)[:B]

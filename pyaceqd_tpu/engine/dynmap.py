@@ -272,6 +272,66 @@ def batched_mto_map_runs(maps, rho0_vec, sops, before, mto_ks, gather_ks, W,
     return np.concatenate(out, axis=0)[:n_valid]
 
 
+@hostsafe
+def _masked_segment_core(maps, states, starts, stops):
+    n = maps.shape[0]
+
+    def body(S, xs):
+        Mk, k = xs
+        S_next = S @ Mk.T
+        active = (k >= starts) & (k < stops)
+        return jnp.where(active[:, None], S_next, S), None
+
+    ks = jnp.arange(n, dtype=jnp.int32)
+    S_f, _ = jax.lax.scan(body, states, (maps, ks))
+    return S_f
+
+
+@hostsafe
+def _masked_segment_events_core(maps, states, starts, stops, sops, mks):
+    n = maps.shape[0]
+    m = sops.shape[0]
+
+    def body(S, xs):
+        Mk, k = xs
+        Se = S
+        for i in range(m):  # static unroll over the event slots
+            hit = mks[:, i] == k
+            Se = jnp.where(hit[:, None], Se @ sops[i].T, Se)
+        S_next = Se @ Mk.T
+        active = (k >= starts) & (k < stops)
+        return jnp.where(active[:, None], S_next, S), None
+
+    ks = jnp.arange(n, dtype=jnp.int32)
+    S_f, _ = jax.lax.scan(body, states, (maps, ks))
+    return S_f
+
+
+def masked_segment_runs(maps, states, starts, stops, sops=None, mto_ks=None):
+    """Advance each lane's state through the shared map chain over its OWN
+    step range: lane b applies maps[k] for starts[b] <= k < stops[b] and is
+    frozen elsewhere.  One scan over the chain serves every lane (the per-step
+    work is a single (B, d^2) @ (d^2, d^2) matmul on the MXU) — the building
+    block for kernels that interleave cheap time-local transport with exact
+    in-window segments at per-lane offsets (timebin/twophoton_new.py
+    eightops_phonon).
+
+    With ``sops`` (m, d^2, d^2) and ``mto_ks`` (B, m): lane b applies sops[i]
+    immediately BEFORE the step map at the chain index mto_ks[b, i] (matching
+    the windowed-PT after-phase insertion ordering); an index outside the
+    lane's active range never fires.
+
+    maps: (n, d^2, d^2); states: (B, d^2); starts/stops: (B,) int32.
+    Returns the advanced states (B, d^2)."""
+    cdt = config.cdtype()
+    args = (np.asarray(maps, dtype=cdt), np.asarray(states, dtype=cdt),
+            np.asarray(starts, dtype=np.int32), np.asarray(stops, dtype=np.int32))
+    if sops is None:
+        return np.asarray(_masked_segment_core(*args))
+    return np.asarray(_masked_segment_events_core(
+        *args, np.asarray(sops, dtype=cdt), np.asarray(mto_ks, dtype=np.int32)))
+
+
 def extract_dms_device(dm_tl, times, tau_c, t_MTOs):
     """Device-friendly extract_dms (reference tools.py:486-545): returns the
     stationary map and the within-memory blocks as stacked arrays."""

@@ -41,7 +41,7 @@ DT = 0.2
 GAMMA = 1 / 100
 
 
-def run_row(threshold, chi_max=None, window_tol=None, tl=False):
+def run_row(threshold, chi_max=None, window_tol=None, tl=False, tlph=False):
     p1 = Pulse(tau=3.0, e_start=0, e0=0.5, t0=12, polar_x=1)
     p2 = Pulse(tau=3.0, e_start=0, e0=1.0, t0=12 + TB, polar_x=1)
     opts = {"verbose": True, "delta_xd": 4, "delta_b": 4, "gamma_e": GAMMA,
@@ -56,7 +56,9 @@ def run_row(threshold, chi_max=None, window_tol=None, tl=False):
     tpb = TwoPhotonTimebinNew(darkmodel, "|0><1|_4", "|1><0|_4", "|1><3|_4",
                               "|3><1|_4", p1, p2, dt=DT, dim=4, tb=TB,
                               gaussian_t=24, options=opts)
-    if tl:
+    if tlph:
+        conc, dm, _ = tpb.calc_densitymatrix_tl_phonon(reduced=True)
+    elif tl:
         conc, dm, _ = tpb.calc_densitymatrix_tl(reduced=True)
     else:
         conc, dm = tpb.calc_densitymatrix(reduced=True, use_second_zero=True)
@@ -64,8 +66,9 @@ def run_row(threshold, chi_max=None, window_tol=None, tl=False):
     import pyaceqd_tpu
     info = pyaceqd_tpu.last_pt_info()
     print("[row %sthr=%s chi_max=%s wtol=%s] concurrence=%.4f  wall=%.0fs  %s"
-          % ("tl " if tl else "", threshold, chi_max, window_tol, conc,
-             time.time() - t0, pyaceqd_tpu.format_pt_info(info)), flush=True)
+          % ("tlph " if tlph else ("tl " if tl else ""), threshold, chi_max,
+             window_tol, conc, time.time() - t0,
+             pyaceqd_tpu.format_pt_info(info)), flush=True)
     return conc, dm, info
 
 
@@ -73,7 +76,10 @@ def _parse_row(spec):
     """'thr[:chi_max][:window_tol]' -> kwargs for run_row."""
     spec = str(spec)
     kw = {}
-    if spec.startswith("tl"):
+    if spec.startswith("tlph"):
+        kw["tlph"] = True
+        spec = spec[4:]
+    elif spec.startswith("tl"):
         kw["tl"] = True
         spec = spec[2:]
     parts = spec.split(":")
