@@ -266,6 +266,11 @@ def evaluate_gates(result):
     if errs:
         failures.append("mesh gate: child failed (%s)" % "; ".join(errs))
     else:
+        if "collective_free" not in mesh or "total_ratio_8dev" not in mesh:
+            failures.append("mesh gate: metrics missing (fewer than two clean "
+                            "weak-scaling rows: %s)"
+                            % [r.get("n_devices") for r in rows])
+            return failures
         if not mesh.get("collective_free"):
             failures.append("mesh gate: sharded program contains collectives %s"
                             % rows[-1].get("hlo_collectives"))

@@ -94,6 +94,11 @@ static ProfClock* g_prof = nullptr;  // set by ptinf_step while profiling
 // semantics honestly (emitted bond dims alone cannot: interior window bonds
 // can bind while the emission bond stays below the cap).
 static bool g_capped = false;
+// count of truncations that took a non-exact (randomized / warm-subspace)
+// SVD path since the last pt_build2 entry; reported via info_out[1] so the
+// parity tests can assert the randomized path actually fired at the shapes
+// they exercise (ADVICE r4).
+static long g_rsvd_n = 0;
 static bool prof_on() {
   static int on = -1;
   if (on < 0) {
@@ -481,6 +486,7 @@ void trunc_step(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
   if (allow_rsvd && lock > 0 && prev && prev->k > 0 && prev->n == n
       && prev->k + n_over + 8 < std::min(m, n)) {
     wsvd_rowmajor(M, m, n, prev->v.data(), prev->k, n_over, U, S, Vh);
+    ++g_rsvd_n;
     if (g_prof) { g_prof->w_s += now_s() - tp0; g_prof->w_n += 1; }
   } else if (allow_rsvd && m > 2 * kt && n > kt) {
     for (;;) {
@@ -493,6 +499,7 @@ void trunc_step(std::vector<cplx>& M, int m, int n, double thr, int chi_max,
       if (kept < kt - 16) break;
       kt = k_target;
     }
+    ++g_rsvd_n;
     if (g_prof) { g_prof->r_s += now_s() - tp0; g_prof->r_n += 1; }
   } else {
     svd_pinned(M, m, n, U, S, Vh);
@@ -814,11 +821,17 @@ extern "C" {
 // Build the per-step PT tensors — the finite-horizon streaming builder, C++
 // twin of pyaceqd_tpu/engine/ptmpo.py::build_pt_tensors (same two-sweep
 // structure as the stationary stepper: fused zip-layer R->L at thr*0.1 +
-// exact L->R SVD truncation sweep at thr; all-exact SVDs — no randomized
-// paths on the finite path), with per-step norm stripping, exact truncation
-// of the final flushed frontier, and converged-emission tiling (weighted
-// drift <= tile_tol for 3 consecutive emissions -> the remaining emissions
-// are tiles of the converged tensor).
+// exact L->R SVD truncation sweep at thr), with per-step norm stripping,
+// exact truncation of the final flushed frontier, and converged-emission
+// tiling (weighted drift <= tile_tol for 3 consecutive emissions -> the
+// remaining emissions are tiles of the converged tensor).
+//
+// SVD policy: like the stationary stepper, the zip sweep uses the m-gated
+// randomized-SVD path (trunc_step: only when the row count far exceeds any
+// survivable rank, m > 2*(chi_max+32)); every rsvd rank is residual-checked
+// and escalates to exact on miss.  PYACEQD_TPU_NATIVE_EXACT=1 forces
+// all-exact SVDs for referee runs; native-vs-numpy parity at rsvd-gate-
+// triggering shapes is tested in tests/test_native.py.
 //
 // Outputs are written padded to (n_steps, chi_pad, G, chi_pad) row-major
 // complex<double> with the true dims in out_dims (n_steps, 2).
@@ -830,7 +843,9 @@ int pt_build2(int n_steps, int n_mem, int G, int D, int w_eff,
               double threshold, int chi_max, int chi_pad, double tile_tol,
               cplx* out, int* out_dims, int* info_out) {
   g_capped = false;
+  g_rsvd_n = 0;
   info_out[0] = -1;
+  info_out[1] = 0;
   PtinfState st;
   st.G = G; st.D = D; st.n_bD = n_mem - 1; st.w_eff = w_eff;
   st.chi_max = chi_max;
@@ -943,6 +958,7 @@ int pt_build2(int n_steps, int n_mem, int G, int D, int w_eff,
         std::memcpy(dst + (size_t(l) * G + g) * chi_pad,
                     &T.at(l, g, 0), sizeof(cplx) * T.b);
   }
+  info_out[1] = int(g_rsvd_n);
   return g_capped ? 1 : 0;  // 1 = success, but the cap bound a truncation
 }
 

@@ -581,7 +581,25 @@ def windowed_pt_runs(task: Task, sops, before, rho0_batch, s0_batch,
         sops = np.einsum('ij,njk,kl->nil', T, sops, T.conj().T).astype(cdt)
         rho0_batch = rho0_batch @ np.asarray(T, dtype=cdt).T
         W = np.asarray(T, dtype=cdt).conj().T
-    s0 = np.minimum(np.asarray(s0_batch, dtype=np.int32), n_full - L)
+    s0_req = np.asarray(s0_batch, dtype=np.int32)
+    s0 = np.minimum(s0_req, n_full - L)
+    if np.any(s0 != s0_req):
+        # The clamp shifts the window left while the callers' window-relative
+        # mto_ks / gather indices stay fixed, so it is ONLY exact when the
+        # background step unitaries are time-invariant over the union of the
+        # requested and clamped spans [min(s0), n_full).  Verify instead of
+        # assuming (ADVICE r4): a clamp landing on a pulse region must fail
+        # loudly, not produce silently wrong correlators.
+        lo = int(np.min(s0[s0 != s0_req]))
+        Uh = np.asarray(task.U[lo:])
+        drift = float(np.max(np.abs(Uh - Uh[-1]))) if len(Uh) else 0.0
+        if drift > 1e-12:
+            raise ValueError(
+                f"windowed_pt_runs: window offset clamp ({int(np.max(s0_req))}"
+                f" -> {n_full - L}) lands on a time-DEPENDENT background "
+                f"(max|U_k - U_end| = {drift:.2e} over steps [{lo}, {n_full}))"
+                f"; the clamped window is not equivalent.  Extend the task "
+                f"horizon or move the insertion times.")
     mk = np.asarray(mto_ks_rel, dtype=np.int32)
     gk = np.asarray(gather_rel, dtype=np.int32)
     B = mk.shape[0]

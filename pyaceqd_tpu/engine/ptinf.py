@@ -594,8 +594,13 @@ def build_stationary_pt(eta, g_of_s, nu, mu, counter_term, threshold=1e-8,
         # per-site SVD cost, which scales with their cube — are much lower,
         # then converge the attractor at the REAL threshold below with
         # detection, locks, and the residual acceptance running fresh from
-        # a cleared history (the warm stage only changes the initial
-        # condition; every accuracy gate below is unaffected).  MEASURED on
+        # a cleared PYTHON-side history (emitted/spectra/locks start empty;
+        # the native stepper keeps its internal emission counter and lag-1
+        # truncation records, which only seed the adaptive rsvd RANK TARGET
+        # of the first final-threshold iteration — a performance hint, not
+        # an accuracy input, since every rsvd rank is residual-checked and
+        # escalates to exact on miss).  Every accuracy gate below is
+        # unaffected.  MEASURED on
         # the bench bath (biexciton, n_mem 64->56, thr 1e-8, cap 128, 1-core
         # host): cold build 611 s -> 417 s at the same attractor (chi=25,
         # period 1, residual 1.1e-6 -> 1.2e-6).

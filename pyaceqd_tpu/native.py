@@ -64,8 +64,17 @@ def get_lib(auto_build=True):
     stale = (os.path.exists(path) and os.path.exists(src)
              and os.path.getmtime(src) > os.path.getmtime(path))
     if (not os.path.exists(path) or stale) and auto_build:
-        if not _build_lib() and not os.path.exists(path):
-            return None
+        if not _build_lib():
+            if not os.path.exists(path):
+                return None
+            # rebuild failed but a (stale) binary exists: loading it would
+            # silently run old native code against newer Python expectations
+            # (ADVICE r4) — warn so the mismatch is visible
+            import warnings
+            warnings.warn(
+                "pyaceqd_tpu.native: rebuild of {} failed; falling back to "
+                "the STALE library at {} (source is newer).  Run `make -C "
+                "native` to see the compiler error.".format(src, path))
     if not os.path.exists(path):
         return None
     try:
@@ -197,7 +206,10 @@ def build_pt_tensors_native(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
     the native library is unavailable (caller falls back to numpy).
     stats, if a dict, receives ``capped`` (whether chi_max, not the SVD
     threshold, bound any truncation) and ``tiled_from`` (emission index
-    tiling started at, when it fired) — same contract as the numpy builder."""
+    tiling started at, when it fired) — same contract as the numpy builder —
+    plus ``rsvd_n``, the number of truncations that took a non-exact
+    (randomized / warm-subspace) SVD path (0 under
+    PYACEQD_TPU_NATIVE_EXACT=1)."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "pt_build2"):
         return None
@@ -238,6 +250,7 @@ def build_pt_tensors_native(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
         return None
     if stats is not None:
         stats["capped"] = rc == 1
+        stats["rsvd_n"] = int(info[1])
         if info[0] >= 0:
             stats["tiled_from"] = int(info[0])
     return [np.ascontiguousarray(out[i, :dims[i, 0], :, :dims[i, 1]])

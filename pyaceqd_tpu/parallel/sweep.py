@@ -8,6 +8,8 @@ per-branch step unitaries come from one batched eigh, and the branch axis
 vmaps across VPU lanes on a chip and shards across the mesh over ICI.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -121,6 +123,85 @@ def _area_sweep_pt_core(stack, caps, g_of_s, H0, C, F_unit, scales, E_half,
     return jnp.concatenate([jnp.swapaxes(ys, 0, 1), y_last[:, None]], axis=1)
 
 
+@hostsafe(static_argnames=("has_diss", "n_sq"))
+def _area_sweep_pt_mxu_core(stack_u, step_idx, caps, g_of_s, H0, C, F_unit,
+                            scales, E_half, rho0_vec, W, dt, has_diss, n_sq):
+    """MXU-folded phonon sweep: per step, ONE (B, chi*d2) @ (chi*d2, chi*d2)
+    matmul applies dissipator-half + PT bond contraction together.
+
+    The shipped PT core's contractions are all K,N <= max(d2, chi) — 16 and
+    25 at the bench shapes, a ~4% fill of the 128x128 MXU tile, which caps
+    the whole kernel near 1 TFLOP/s (measured, scripts/sweep_layout_exp.py).
+    Folding E_half and the s-batched bond contraction into one block-
+    structured (chi*d2)^2 matrix trades ~6x redundant FLOPs (the zero blocks)
+    for full MXU tiles: K = N = chi*d2 = 400 at the bench shapes.  The folds
+    are built ON DEVICE from the same (n, chi, G, chi) stack (no extra host
+    transfer), and repeated stationary steps are deduplicated host-side
+    (stack_u (u, chi, G, chi) + step_idx (n,)), so fold memory scales with
+    the number of DISTINCT steps (init segment + period), not the horizon.
+
+    The lane-dependent U rho U^H sandwich stays on the VPU (folding it would
+    need a per-lane, per-step (d2, d2) superoperator — B x n x d2^2 memory).
+    Readout folds caps_k and W into one (chi*d2, n_out) matrix per step.
+    Semantics identical to _area_sweep_pt_core (parity-tested); selected by
+    _prep_sweep for chi*d2 <= _MXU_FOLD_MAX_K."""
+    d = H0.shape[0]
+    d2 = d * d
+    chi = stack_u.shape[1]
+    K = chi * d2
+    B = scales.shape[0]
+    n = step_idx.shape[0]
+    U = _batched_unitaries(H0, C, F_unit, scales, dt, n_sq)
+    Qs_u = stack_u[:, :, g_of_s, :]                    # (u, chi, d2, chi)
+    E = E_half if has_diss else jnp.eye(d2, dtype=stack_u.dtype)
+    # M2_u[(a,t),(b,s)] = E[s,t] * Q[a,s,b]: post-sandwich dissipator half
+    # then the bond contraction, as one dense matmul
+    M2_u = jnp.einsum('st,uasb->uatbs', E, Qs_u).reshape(-1, K, K)
+    # R[k] = caps[k] (x) W^T: readout y = A @ R
+    R = (caps[:n, :, None, None]
+         * jnp.swapaxes(W, 0, 1)[None, None, :, :]).reshape(n, K, -1)
+    R_last = (caps[n][:, None, None]
+              * jnp.swapaxes(W, 0, 1)[None, :, :]).reshape(K, -1)
+    if has_diss:
+        M1 = jnp.kron(jnp.eye(chi, dtype=E_half.dtype), jnp.swapaxes(E_half, 0, 1))
+
+    def body(A, xs):
+        Uk, ik, Rk = xs
+        y = A @ Rk
+        if has_diss:
+            A = A @ M1
+        Am = _vpu_sandwich(A.reshape(B, chi, d, d), Uk)
+        A = Am.reshape(B, K) @ M2_u[ik]
+        return A, y
+
+    A0 = jnp.zeros((B, chi, d2), dtype=rho0_vec.dtype).at[:, 0].set(
+        rho0_vec[None]).reshape(B, K)
+    A_f, ys = jax.lax.scan(body, A0, (U, step_idx, R))
+    y_last = A_f @ R_last
+    return jnp.concatenate([jnp.swapaxes(ys, 0, 1), y_last[:, None]], axis=1)
+
+
+# fold-size ceiling for the MXU core: u distinct steps cost u * (chi*d2)^2
+# complex64 each for M2 (e.g. 1.28 MB at the bench's chi=25, d=4); beyond
+# K=1024 the folds' HBM footprint and the 6x block-sparsity waste outgrow
+# the tile-fill win and the base core is used instead.
+_MXU_FOLD_MAX_K = 1024
+
+
+def _dedupe_stack(stack):
+    """(n, chi, G, chi) -> (stack_u (u, chi, G, chi), idx (n,) int32): unique
+    step tensors + per-step indices (stationary PTs repeat one bulk tensor)."""
+    n = stack.shape[0]
+    flat = np.ascontiguousarray(stack).reshape(n, -1)
+    _, first, idx = np.unique(flat.view(np.uint8).reshape(n, -1), axis=0,
+                              return_index=True, return_inverse=True)
+    # keep first-occurrence order so the init segment stays contiguous
+    order = np.argsort(first, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    return stack[first[order]], rank[idx].astype(np.int32)
+
+
 def area_sweep(spec, pulses_unit, scales, t_start, t_end, dt, pt=None,
                mesh=None, chunk=4096):
     """Propagate all sweep points of a linear drive-amplitude family at once.
@@ -198,6 +279,17 @@ def _prep_sweep(spec, pulses_unit, scales, t_start, t_end, dt, pt, mesh):
             pt = pt.materialize(n)
         else:
             pt = pt.prefix(n)
+        kernel = os.environ.get("PYACEQD_TPU_SWEEP_KERNEL", "auto")
+        use_mxu = (kernel == "mxu" or
+                   (kernel == "auto"
+                    and pt.chi * spec.dim**2 <= _MXU_FOLD_MAX_K))
+        if use_mxu:
+            stack_u, step_idx = _dedupe_stack(np.asarray(pt.stack))
+            args = (stack_u.astype(cdt), step_idx, pt.caps.astype(cdt),
+                    np.asarray(pt.g_of_s, dtype=np.int32), spec.H0.astype(cdt),
+                    C, F_unit.astype(cdt), scales_dev, E_half, rho0_vec, W,
+                    rdt(dt))
+            return t, n_valid, _area_sweep_pt_mxu_core, args, statics
         args = (pt.stack.astype(cdt), pt.caps.astype(cdt),
                 np.asarray(pt.g_of_s, dtype=np.int32), spec.H0.astype(cdt), C,
                 F_unit.astype(cdt), scales_dev, E_half, rho0_vec, W, rdt(dt))

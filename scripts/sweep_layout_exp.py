@@ -81,31 +81,42 @@ def make_devcall(fn, statics):
     return run
 
 
+def _force(out):
+    """Force completion over the axon tunnel: block_until_ready on this
+    backend returns before execution finishes (measured: 'compute 0.000s'
+    on a program whose readback then takes 5.7 s), so fetch ONE element —
+    any output element transfer requires the whole program to have run."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def main():
     spec, pt, n_steps = bench.build_bench_system()
     p_unit = ChirpedPulse(tau_0=3.0, e_start=-2.0, alpha=0, e0=1, t0=12.0)
     areas = np.linspace(0, 12, n_areas)
-    t, n_valid, fn_base, args, statics = sw._prep_sweep(
-        spec, [p_unit], areas, 0, bench.T_END, bench.DT, pt, None)
+    variants = {}
+    for name, kern in (("base", "base"), ("mxu", "mxu")):
+        os.environ["PYACEQD_TPU_SWEEP_KERNEL"] = kern
+        _, _, fn, args, statics = sw._prep_sweep(
+            spec, [p_unit], areas, 0, bench.T_END, bench.DT, pt, None)
+        variants[name] = (fn.__wrapped__, args, statics)
+    variants["superop"] = (_area_sweep_pt_superop,) + variants["base"][1:]
 
-    split = jax.tree_util.tree_map(cplx._split_host, args)
-    split_dev = jax.device_put(split)
-    jax.block_until_ready(split_dev)
-
-    variants = {"base": fn_base.__wrapped__,
-                "superop": _area_sweep_pt_superop}
     ref = None
-    for name, fn in variants.items():
+    for name, (fn, args, statics) in variants.items():
+        split = jax.tree_util.tree_map(cplx._split_host, args)
+        split_dev = jax.device_put(split)
+        jax.block_until_ready(split_dev)
         run = make_devcall(fn, statics.keys())
         t0 = time.time()
         out = run(split_dev, **statics)
-        jax.block_until_ready(out)
+        _force(out)
         compile_s = time.time() - t0
         tc, tr = [], []
         for _ in range(reps):
             t0 = time.time()
             out = run(split_dev, **statics)
-            jax.block_until_ready(out)
+            _force(out)
             tc.append(time.time() - t0)
             t0 = time.time()
             host = jax.tree_util.tree_map(
@@ -116,7 +127,8 @@ def main():
         print(f"{name:8s}: compute {min(tc):.3f}s ({lane_steps/min(tc):,.0f} "
               f"lane-steps/s)  +readback {min(tr):.3f}s "
               f"(total {lane_steps/(min(tc)+min(tr)):,.0f}/s)  "
-              f"[compile {compile_s:.1f}s]", flush=True)
+              f"[compile {compile_s:.1f}s]  per-rep {[f'{x:.3f}' for x in tc]}",
+              flush=True)
         if ref is None:
             ref = host
         else:
