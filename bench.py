@@ -167,7 +167,7 @@ def run_config(spec, pt, n_steps, n_areas, reps=3):
         with profiling.phase("steady_run"):
             t, outs = area_sweep(spec, [p_unit], areas, 0, T_END, DT, pt=pt)
         per_rep.append(time.time() - t0)
-    return n_areas * n_steps / min(per_rep), trace_err, outs
+    return n_areas * n_steps / min(per_rep), trace_err, outs, per_rep
 
 
 def mesh_child(n_devices):
@@ -260,6 +260,15 @@ def evaluate_gates(result):
     if not result.get("pt_ok"):
         failures.append("pt gate: stationary build residual %s > 1e-4"
                         % result.get("pt", {}).get("build_residual"))
+    # speed gate (BASELINE.md: >=50x single-core): the headline must clear
+    # the target against the MEASURED single-thread numpy baseline, and a
+    # result that never measured vs_baseline must not pass silently
+    vsb = result.get("vs_baseline")
+    if vsb is None:
+        failures.append("speed gate: vs_baseline missing")
+    elif vsb < 50:
+        failures.append("speed gate: vs_baseline %.1fx < 50x (BASELINE.md "
+                        "speed target)" % vsb)
     mesh = result.get("mesh", {})
     rows = mesh.get("weak_scaling", [])
     errs = [r.get("error") for r in rows if "error" in r]
@@ -303,7 +312,7 @@ def main():
     resid = pt_info.get("build_residual")
     pt_ok = bool(resid is not None and resid <= 1e-4)
 
-    steps_per_sec, trace_err, _ = run_config(spec, pt, n_steps, n_areas)
+    steps_per_sec, trace_err, _, per_rep = run_config(spec, pt, n_steps, n_areas)
     # Trace gate at 2e-3: the drift at this config is REAL truncation error,
     # not accumulation — measured 1.276e-3 in full float64 on CPU vs 1.261e-3
     # on the TPU (identical to 1%), worst lane = area 12 (a 6-pi pulse driving
@@ -327,6 +336,8 @@ def main():
         "value": round(steps_per_sec, 1),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / base, 2),
+        "per_rep_s": [round(x, 3) for x in per_rep],
+        "sweep_kernel": os.environ.get("PYACEQD_TPU_SWEEP_KERNEL", "auto"),
         "baseline_steps_per_sec": round(base, 1),
         "baseline_source": ("measured: single-thread numpy c128 loop, "
                             "identical per-step work and shapes"),

@@ -14,6 +14,7 @@ def _good_result():
         "trace_err": 2e-4,
         "pt_ok": True,
         "pt": {"build_residual": 8e-7},
+        "vs_baseline": 62.0,
         "mesh": {
             "weak_scaling": [
                 {"n_devices": 1, "per_device_steps_per_sec": 1000.0,
@@ -49,6 +50,21 @@ def test_pt_gate_fails():
     r["pt_ok"] = False
     fails = _gates()(r)
     assert any("pt gate" in f for f in fails)
+
+
+def test_speed_gate_fails():
+    # BASELINE.md speed target: >=50x the measured single-core baseline
+    r = _good_result()
+    r["vs_baseline"] = 21.6
+    fails = _gates()(r)
+    assert any("speed gate" in f and "21.6" in f for f in fails)
+
+
+def test_speed_gate_missing_fails():
+    r = _good_result()
+    del r["vs_baseline"]
+    fails = _gates()(r)
+    assert any("vs_baseline missing" in f for f in fails)
 
 
 def test_mesh_collective_gate_fails():
