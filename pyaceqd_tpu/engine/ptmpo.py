@@ -256,6 +256,12 @@ def _flush_truncate(chain, thr, chi_max):
     return chain
 
 
+# zip-up truncation threshold = _ZIP_FACTOR * threshold: the zip's SVDs see
+# an inexact left environment (older sites still carry pre-layer tensors), so
+# it truncates tighter than the exact follow-up sweep
+_ZIP_FACTOR = 0.1
+
+
 def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
                      eta_cut=1e-10, verbose=False, odd_threshold_ratio=None,
                      b0_scale=None, stats=None, tile_tol="auto"):
@@ -317,7 +323,7 @@ def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
         if odd_threshold_ratio is not None and step % 2 == 1:
             thr_step = threshold * float(odd_threshold_ratio)
         chain = ptinf._zip_layer_sweep(chain, b0, bD, d_of_g, w_eff,
-                                       thr_step * 0.1, chi_max)
+                                       thr_step * _ZIP_FACTOR, chi_max)
         chain = ptinf._svd_sweep_lr(chain, thr_step, chi_max)
         if len(chain) == n_mem:
             Q, chain = _emit(chain)

@@ -136,6 +136,52 @@ def hostsafe(fn=None, *, static_argnames=()):
     return wrapper
 
 
+def device_runner(fn, static_argnames=()):
+    """Device-resident-argument runner for steady-state timing.
+
+    ``hostsafe`` re-splits and re-uploads every argument per call and joins
+    the full output back to host — correct for library calls, but on a
+    tunneled backend the transfers dominate steady-state measurements
+    (measured at the bench shapes: 0.2 s compute vs ~2 s readback of the
+    40 MB output, scripts/sweep_layout_exp.py H1).  This returns
+    ``(upload, run)``: ``upload(args)`` splits complex leaves and
+    device_puts once; ``run(handle, **statics)`` executes the jitted program
+    on the resident buffers and returns the on-device (split) output — pair
+    with ``force``/``readback`` below to time execution and transfer apart."""
+    statics = tuple(static_argnames)
+
+    @functools.partial(jax.jit, static_argnames=statics)
+    def _run(split_args, **stat):
+        args_c = jax.tree_util.tree_map(
+            _join_traced, split_args, is_leaf=lambda x: isinstance(x, CPair))
+        out = fn(*args_c, **stat)
+        return jax.tree_util.tree_map(_split_traced, out)
+
+    def upload(args):
+        config.precision()
+        split = jax.tree_util.tree_map(_split_host, args)
+        dev = jax.device_put(split)
+        jax.block_until_ready(dev)
+        return dev
+
+    return upload, _run
+
+
+def force(out):
+    """Force completion of a device computation by fetching ONE output
+    element (on the tunneled axon backend, block_until_ready can return
+    before execution finishes — measured 'compute 0.000 s' on a program
+    whose readback then took 5.7 s; a single-element transfer cannot)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def readback(out):
+    """Join a device (split) output back to host complex numpy."""
+    return jax.tree_util.tree_map(
+        _join_host, out, is_leaf=lambda x: isinstance(x, CPair))
+
+
 def device_get(x):
     """Fetch an array to host NumPy, routing complex through a float split."""
     if x is None:

@@ -68,26 +68,9 @@ def _area_sweep_pt_superop(stack, caps, g_of_s, H0, C, F_unit, scales,
     return jnp.concatenate([jnp.swapaxes(ys, 0, 1), y_last[:, None]], axis=1)
 
 
-def make_devcall(fn, statics):
-    """jit fn with a complex-free entry (CPair split), for device-resident
-    args: the hostsafe transform minus the per-call host<->device transfer."""
-    @functools.partial(jax.jit, static_argnames=tuple(statics))
-    def run(split_args, **stat):
-        args_c = jax.tree_util.tree_map(
-            cplx._join_traced, split_args,
-            is_leaf=lambda x: isinstance(x, cplx.CPair))
-        out = fn(*args_c, **stat)
-        return jax.tree_util.tree_map(cplx._split_traced, out)
-    return run
-
-
-def _force(out):
-    """Force completion over the axon tunnel: block_until_ready on this
-    backend returns before execution finishes (measured: 'compute 0.000s'
-    on a program whose readback then takes 5.7 s), so fetch ONE element —
-    any output element transfer requires the whole program to have run."""
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return np.asarray(leaf[(0,) * leaf.ndim])
+# device-resident runner + one-element completion force + separate readback:
+# shared library helpers (utils/cplx.device_runner / force / readback) — the
+# bench's run_config times its headline the same way
 
 
 def main():
@@ -104,24 +87,20 @@ def main():
 
     ref = None
     for name, (fn, args, statics) in variants.items():
-        split = jax.tree_util.tree_map(cplx._split_host, args)
-        split_dev = jax.device_put(split)
-        jax.block_until_ready(split_dev)
-        run = make_devcall(fn, statics.keys())
+        upload, run = cplx.device_runner(fn, statics.keys())
+        split_dev = upload(args)
         t0 = time.time()
         out = run(split_dev, **statics)
-        _force(out)
+        cplx.force(out)
         compile_s = time.time() - t0
         tc, tr = [], []
         for _ in range(reps):
             t0 = time.time()
             out = run(split_dev, **statics)
-            _force(out)
+            cplx.force(out)
             tc.append(time.time() - t0)
             t0 = time.time()
-            host = jax.tree_util.tree_map(
-                cplx._join_host, out,
-                is_leaf=lambda x: isinstance(x, cplx.CPair))
+            host = cplx.readback(out)
             tr.append(time.time() - t0)
         lane_steps = n_areas * n_steps
         print(f"{name:8s}: compute {min(tc):.3f}s ({lane_steps/min(tc):,.0f} "
