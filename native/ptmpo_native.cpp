@@ -316,6 +316,124 @@ void rsvd_rowmajor(std::vector<cplx>& M, int m, int n, int k_target,
   matmul(Q.data(), Uc.data(), U.data(), m, kr, kk);
 }
 
+// ---------------------------------------------------------------------------
+// Finite-builder sweeps (pt_build2): the 4-sweep segment-scoped structure of
+// pyaceqd_tpu/engine/ptmpo.py::build_pt_tensors.  The r4 two-sweep rewrite
+// (fused zip + one full-chain L->R truncation per step) re-cut every bond
+// every step and measurably degraded finite-PT accuracy (phonon_tls golden
+// config: 5.9e-4 vs 5.0e-4 max observable error against a thr=1e-10/chi=128
+// referee); the r5 adjudication (scripts/adjudicate_golden.py) reverted it.
+// Bonds older than the effective kernel range are never re-truncated.
+// ---------------------------------------------------------------------------
+
+// chain[i] (a,g,b) -> QR of (a*g, b); absorb R into chain[i+1]
+void qr_sweep_lr(std::vector<Tensor>& chain, int start) {
+  for (int i = start; i + 1 < int(chain.size()); ++i) {
+    Tensor& T = chain[i];
+    int m = T.a * T.g, n = T.b, kr = 0;
+    std::vector<cplx> Q, R;
+    qr_rowmajor(T.data, m, n, Q, R, kr);
+    Tensor nt;
+    nt.a = T.a; nt.g = T.g; nt.b = kr; nt.data = std::move(Q);
+    Tensor& N = chain[i + 1];
+    Tensor out;
+    out.resize(kr, N.g, N.b);
+    matmul(R.data(), N.data.data(), out.data.data(), kr, N.a, N.g * N.b);
+    chain[i] = std::move(nt);
+    chain[i + 1] = std::move(out);
+  }
+}
+
+// chain[i] (a,g,b) -> SVD of (a, g*b), truncate; absorb U*S into chain[i-1].
+// use_rsvd: allow the randomized path when the row count far exceeds what
+// can survive truncation (zip-up stage only; the exact sweep never).  The
+// finite path defaults all-exact (goldens were generated that way and the
+// rsvd drift is O(1e-5) on observables — ADVICE r4); opt in via
+// PYACEQD_TPU_NATIVE_RSVD=1 for throwaway builds.
+void svd_sweep_rl(std::vector<Tensor>& chain, double thr, int chi_max,
+                  int stop, bool use_rsvd = false) {
+  for (int i = int(chain.size()) - 1; i > stop; --i) {
+    Tensor& T = chain[i];
+    int m = T.a, n = T.g * T.b;
+    std::vector<cplx> U, Vh;
+    std::vector<double> S;
+    int k_target = chi_max + 32;  // oversampling margin
+    if (use_rsvd && m > 2 * k_target && n > k_target) {
+      rsvd_rowmajor(T.data, m, n, k_target, U, S, Vh);
+      ++g_rsvd_n;
+    } else {
+      svd_rowmajor(T.data, m, n, U, S, Vh);
+    }
+    int k = int(S.size());
+    int keep = 1;
+    if (k > 0 && S[0] > 0) {
+      keep = 0;
+      for (int c = 0; c < k; ++c)
+        if (S[c] > S[0] * thr) ++keep;
+    }
+    if (keep > chi_max) g_capped = true;
+    keep = std::max(1, std::min(chi_max, keep));
+    Tensor nt;
+    nt.a = keep; nt.g = T.g; nt.b = T.b;
+    nt.data.assign(Vh.begin(), Vh.begin() + size_t(keep) * n);
+    std::vector<cplx> US(size_t(m) * keep);
+    for (int r = 0; r < m; ++r)
+      for (int c = 0; c < keep; ++c)
+        US[size_t(r) * keep + c] = U[size_t(r) * k + c] * S[c];
+    Tensor& L = chain[i - 1];
+    Tensor out;
+    out.resize(L.a, L.g, keep);
+    matmul(L.data.data(), US.data(), out.data.data(), L.a * L.g, L.b, keep);
+    chain[i] = std::move(nt);
+    chain[i - 1] = std::move(out);
+  }
+}
+
+// multiply a new time step's influence factors into the chain
+void apply_layer(std::vector<Tensor>& chain, const cplx* b0, const cplx* bD,
+                 const int* d_of_g, int G, int D, int w_eff) {
+  int W = int(chain.size());
+  int start = std::max(0, W - w_eff);
+  for (int j = start; j < W; ++j) {
+    Tensor& P = chain[j];
+    int delta = W - j;
+    const cplx* B = bD + size_t(delta - 1) * D * G;  // (D, G)
+    Tensor T;
+    if (j == start) {
+      // T(l, g, r*D + c) = P(l,g,r) * B(c,g)
+      T.resize(P.a, G, P.b * D);
+      for (int l = 0; l < P.a; ++l)
+        for (int g = 0; g < G; ++g)
+          for (int r = 0; r < P.b; ++r) {
+            cplx p = P.at(l, g, r);
+            for (int c = 0; c < D; ++c)
+              T.at(l, g, r * D + c) = p * B[size_t(c) * G + g];
+          }
+    } else {
+      // block-diagonal in c: T(l*D+c, g, r*D+c) = P(l,g,r) * B(c,g)
+      T.resize(P.a * D, G, P.b * D);
+      for (int l = 0; l < P.a; ++l)
+        for (int g = 0; g < G; ++g)
+          for (int r = 0; r < P.b; ++r) {
+            cplx p = P.at(l, g, r);
+            for (int c = 0; c < D; ++c)
+              T.at(l * D + c, g, r * D + c) = p * B[size_t(c) * G + g];
+          }
+    }
+    chain[j] = std::move(T);
+  }
+  // new site: emits its own d-value, weighted by the self term
+  Tensor N;
+  if (W == 0 || w_eff == 0) {
+    N.resize(1, G, 1);
+    for (int g = 0; g < G; ++g) N.at(0, g, 0) = b0[g];
+  } else {
+    N.resize(D, G, 1);
+    for (int g = 0; g < G; ++g) N.at(d_of_g[g], g, 0) = b0[g];
+  }
+  chain.push_back(std::move(N));
+}
+
 // split off the oldest site in left-canonical gauge-pinned form
 Tensor emit(std::vector<Tensor>& chain) {
   Tensor& T = chain[0];
@@ -819,19 +937,22 @@ void ptinf_lwin(const PtinfState& st, std::vector<cplx>& L, int& la, int& lk) {
 extern "C" {
 
 // Build the per-step PT tensors — the finite-horizon streaming builder, C++
-// twin of pyaceqd_tpu/engine/ptmpo.py::build_pt_tensors (same two-sweep
-// structure as the stationary stepper: fused zip-layer R->L at thr*0.1 +
-// exact L->R SVD truncation sweep at thr), with per-step norm stripping,
-// exact truncation of the final flushed frontier, and converged-emission
-// tiling (weighted drift <= tile_tol for 3 consecutive emissions -> the
-// remaining emissions are tiles of the converged tensor).
+// twin of pyaceqd_tpu/engine/ptmpo.py::build_pt_tensors (same 4-sweep
+// segment-scoped structure: apply_layer, zip-truncate R->L at thr*0.1 over
+// the touched segment, QR L->R, exact R->L truncation at thr, QR L->R —
+// bonds older than the kernel range are never re-truncated; see the sweep
+// block comment above for the r5 adjudication that reverted the two-sweep
+// rewrite), with exact truncation of the final flushed frontier and
+// converged-emission tiling (weighted drift <= tile_tol for 3 consecutive
+// emissions -> the remaining emissions are tiles of the converged tensor).
 //
-// SVD policy: like the stationary stepper, the zip sweep uses the m-gated
-// randomized-SVD path (trunc_step: only when the row count far exceeds any
-// survivable rank, m > 2*(chi_max+32)); every rsvd rank is residual-checked
-// and escalates to exact on miss.  PYACEQD_TPU_NATIVE_EXACT=1 forces
-// all-exact SVDs for referee runs; native-vs-numpy parity at rsvd-gate-
-// triggering shapes is tested in tests/test_native.py.
+// SVD policy: ALL-EXACT by default (the golden regression artifacts were
+// generated by the all-exact path and the randomized zip drifts O(1e-5) on
+// observables).  PYACEQD_TPU_NATIVE_RSVD=1 opts the zip pre-truncation into
+// the m-gated randomized path (m > 2*(chi_max+32)) for throwaway builds;
+// PYACEQD_TPU_NATIVE_EXACT=1 still forces exact everywhere (overrides the
+// opt-in).  Native-vs-numpy parity at rsvd-gate-triggering shapes is tested
+// in tests/test_native.py.
 //
 // Outputs are written padded to (n_steps, chi_pad, G, chi_pad) row-major
 // complex<double> with the true dims in out_dims (n_steps, 2).
@@ -849,12 +970,9 @@ int pt_build2(int n_steps, int n_mem, int G, int D, int w_eff,
   PtinfState st;
   st.G = G; st.D = D; st.n_bD = n_mem - 1; st.w_eff = w_eff;
   st.chi_max = chi_max;
-  // the zip's m-gated randomized-SVD path (trunc_step: only when the row
-  // count far exceeds any survivable rank) is required at weight-2 bath
-  // shapes: the exact zgesdd at (chi*D x G*chi) ~ (640 x 1152) costs 6.1 s
-  // PER SITE on this host (measured) vs ~0.3 s randomized — the stationary
-  // engine has always used it and the exact-IBM gate (8e-7) holds.  Set
-  // PYACEQD_TPU_NATIVE_EXACT=1 to force all-exact SVDs for referee runs.
+  // finite path is all-exact unless PYACEQD_TPU_NATIVE_RSVD=1 opts the zip
+  // pre-truncation into the randomized path (see the header comment);
+  // PYACEQD_TPU_NATIVE_EXACT=1 forces exact regardless.
   {
     const char* e = std::getenv("PYACEQD_TPU_NATIVE_EXACT");
     st.exact_only = (e && e[0] == '1');
@@ -867,20 +985,21 @@ int pt_build2(int n_steps, int n_mem, int G, int D, int w_eff,
   const int n_emit = std::max(0, n_steps - n_mem + 1);
   Tensor prevQ;
   int streak = 0;
+  const bool use_rsvd_zip = !st.exact_only && [] {
+    const char* e = std::getenv("PYACEQD_TPU_NATIVE_RSVD");
+    return e && e[0] == '1';
+  }();
   for (int step = 0; step < n_steps; ++step) {
-    ptinf_zip_sweep(st, threshold * 0.1, nullptr, nullptr, nullptr);
-    ptinf_svd_sweep_lr(st, threshold, nullptr, nullptr, nullptr);
+    int touched = std::min(int(st.chain.size()), w_eff);
+    apply_layer(st.chain, st.b0.data(), st.bD.data(), st.d_of_g.data(), G, D,
+                w_eff);
+    int seg = std::max(0, int(st.chain.size()) - 1 - touched);
+    svd_sweep_rl(st.chain, threshold * 0.1, chi_max, seg, use_rsvd_zip);
+    qr_sweep_lr(st.chain, seg);
+    svd_sweep_rl(st.chain, threshold, chi_max, seg);
+    qr_sweep_lr(st.chain, seg);
     if (int(st.chain.size()) == n_mem) {
       Tensor Q = emit(st.chain);
-      // strip the accumulated global norm (pure global scale on the final
-      // flush tensor, which the assembler rescales; required both for
-      // float-range safety and for emission-convergence detection)
-      Tensor& last = st.chain.back();
-      double s = 0.0;
-      for (const cplx& x : last.data) s += std::norm(x);
-      s = std::sqrt(s);
-      if (s > 0)
-        for (cplx& x : last.data) x /= s;
       if (tile_tol > 0 && prevQ.a == Q.a && prevQ.g == Q.g
           && prevQ.b == Q.b) {
         double raw = 0.0;

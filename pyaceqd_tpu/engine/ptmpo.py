@@ -215,19 +215,6 @@ def _emit(chain):
     return emitted, chain
 
 
-def _strip_norm(chain):
-    """Divide out the chain's accumulated global norm (held at the rightmost
-    site after the L->R truncation sweep).  A per-step scalar rescale is a
-    single global factor on the final flush tensor, which the assembler
-    rescales anyway (exactly invariant under the caps normalization); without
-    it the raw chain norm grows geometrically (~3x/step measured for the
-    biexciton bath) and emitted-tensor convergence cannot be detected."""
-    s = float(np.linalg.norm(chain[-1]))
-    if s > 0:
-        chain[-1] = chain[-1] / s
-    return chain
-
-
 def _flush_truncate(chain, thr, chi_max):
     """Exact threshold truncation of the final flushed frontier.
 
@@ -262,24 +249,47 @@ def _flush_truncate(chain, thr, chi_max):
 _ZIP_FACTOR = 0.1
 
 
+def _svd_sweep_rl(chain, thr, chi_max, stop=0):
+    """Right-to-left SVD truncation sweep over bonds i > stop (weight moves
+    to the left neighbour).  Exact when the chain left of each bond is
+    left-canonical — the gauge the preceding _qr_sweep_lr guarantees."""
+    from pyaceqd_tpu.engine import ptinf
+    for i in range(len(chain) - 1, stop, -1):
+        a, g, b = chain[i].shape
+        U, S, Vh = np.linalg.svd(chain[i].reshape(a, g * b),
+                                 full_matrices=False)
+        keep = ptinf._keep_rank(S, thr, chi_max, None, i)
+        chain[i] = Vh[:keep].reshape(keep, g, b)
+        chain[i - 1] = np.einsum('agb,bc->agc', chain[i - 1],
+                                 U[:, :keep] * S[:keep])
+    return chain
+
+
 def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
                      eta_cut=1e-10, verbose=False, odd_threshold_ratio=None,
                      b0_scale=None, stats=None, tile_tol="auto"):
     """Build the per-step PT tensors for a propagation horizon of n_steps.
 
-    Two-sweep streaming structure shared with the stationary engine
-    (engine/ptinf.py): each step fuses the new influence layer into a
-    right-to-left zip-up truncation at threshold*0.1 (the chain arrives
-    left-canonical, so the zip's SVD inputs carry the exact right
-    environment), followed by one exact left-to-right SVD truncation sweep
-    at ``threshold`` — which ends left-canonical with the weight at the
-    right end, exactly the gauge the next zip expects, so no QR
-    re-canonicalization sweeps are needed (they were 31% of the old
-    4-sweep structure, measured).  The memory window is len(eta) steps; the
-    layer only threads through the effective kernel range w_eff
-    (|eta_Delta| > eta_cut * |eta_0|).  The remaining frontier is flushed at
-    the end and exact-truncated (see _flush_truncate).  Returns a list of
-    n_steps tensors Q_k[chi_l, G, chi_r] with chi_0 = chi_n = 1.
+    Four-sweep segment-scoped structure: each step materializes the new
+    influence layer (_apply_layer), zip-truncates right-to-left at
+    threshold*_ZIP_FACTOR over the touched segment only, re-canonicalizes
+    (QR left-to-right), truncates exactly right-to-left at ``threshold``,
+    and QR-restores the left-canonical gauge for the next layer.  Bonds
+    OLDER than the effective kernel range are never re-truncated — the r4
+    two-sweep rewrite (zip + one L->R truncation over the FULL chain every
+    step) re-cut every bond every step and measurably degraded finite-PT
+    accuracy: at the phonon_tls golden config (thr=1e-8), max observable
+    error vs a thr=1e-10/chi=128 referee was 5.9e-4 (two-sweep) vs 5.0e-4
+    (this structure, native) — an 18% regression the r5 adjudication
+    (scripts/adjudicate_golden.py) ordered reverted.  The 31% sweep-cost
+    saving the rewrite bought matters only on long stationary-capable
+    horizons, which route through engine/ptinf.py anyway.  The memory
+    window is len(eta) steps; the layer only threads through the effective
+    kernel range w_eff (|eta_Delta| > eta_cut * |eta_0|).  The remaining
+    frontier is flushed at the end and exact-truncated (see
+    _flush_truncate; measured effect on the golden observable: 1.9e-9).
+    Returns a list of n_steps tensors Q_k[chi_l, G, chi_r] with
+    chi_0 = chi_n = 1.
 
     odd_threshold_ratio emulates ACE's ``odd_threshold_ratio`` knob (the
     reference forwards "0.3", general_system.py:163): odd-index layers
@@ -322,12 +332,16 @@ def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
         thr_step = threshold
         if odd_threshold_ratio is not None and step % 2 == 1:
             thr_step = threshold * float(odd_threshold_ratio)
-        chain = ptinf._zip_layer_sweep(chain, b0, bD, d_of_g, w_eff,
-                                       thr_step * _ZIP_FACTOR, chi_max)
-        chain = ptinf._svd_sweep_lr(chain, thr_step, chi_max)
+        touched = min(len(chain), w_eff)
+        chain = _apply_layer(chain, b0, bD, d_of_g, w_eff)
+        seg = max(0, len(chain) - 1 - touched)
+        chain = _svd_sweep_rl(chain, thr_step * _ZIP_FACTOR, chi_max,
+                              stop=seg)
+        chain = _qr_sweep_lr(chain, start=seg)
+        chain = _svd_sweep_rl(chain, thr_step, chi_max, stop=seg)
+        chain = _qr_sweep_lr(chain, start=seg)
         if len(chain) == n_mem:
             Q, chain = _emit(chain)
-            chain = _strip_norm(chain)
             emitted.append(Q)
             if tile_tol and prev_Q is not None and Q.shape == prev_Q.shape:
                 raw = float(np.max(np.abs(Q - prev_Q)))

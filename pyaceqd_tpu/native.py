@@ -198,18 +198,19 @@ class NativePtinfStepper:
 def build_pt_tensors_native(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
                             eta_cut=1e-10, verbose=False, b0_scale=None,
                             stats=None, tile_tol="auto"):
-    """Native equivalent of engine.ptmpo.build_pt_tensors (same two-sweep
-    structure, flush truncation, and converged-emission tiling — see that
-    docstring).
+    """Native equivalent of engine.ptmpo.build_pt_tensors (same 4-sweep
+    segment-scoped structure, flush truncation, and converged-emission
+    tiling — see that docstring).
 
     Returns a list of n_steps (chi_l, G, chi_r) complex tensors, or None if
     the native library is unavailable (caller falls back to numpy).
     stats, if a dict, receives ``capped`` (whether chi_max, not the SVD
     threshold, bound any truncation) and ``tiled_from`` (emission index
     tiling started at, when it fired) — same contract as the numpy builder —
-    plus ``rsvd_n``, the number of truncations that took a non-exact
-    (randomized / warm-subspace) SVD path (0 under
-    PYACEQD_TPU_NATIVE_EXACT=1)."""
+    plus ``rsvd_n``, the number of truncations that took the randomized SVD
+    path (0 by default: the finite path is all-exact since the r5
+    adjudication; PYACEQD_TPU_NATIVE_RSVD=1 opts the zip pre-truncation in
+    for throwaway builds)."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "pt_build2"):
         return None

@@ -35,13 +35,20 @@ def _gen(name):
 
 
 def _compare(name, tol=TOL):
+    # report EVERY failing key, not just the first: in round 4 the x_fin
+    # failure masked an independent x_inf drift for a whole round
     ref = _load(name)
     got = _gen(name)
+    failures = []
     for key in ref.files:
         a, b = np.asarray(ref[key]), np.asarray(got[key])
-        assert a.shape == b.shape, f"{name}/{key}: shape {b.shape} != {a.shape}"
+        if a.shape != b.shape:
+            failures.append(f"{name}/{key}: shape {b.shape} != {a.shape}")
+            continue
         err = float(np.max(np.abs(a - b))) if a.size else 0.0
-        assert err < tol, f"{name}/{key}: drift {err:.3e} >= {tol}"
+        if not err < tol:
+            failures.append(f"{name}/{key}: drift {err:.3e} >= {tol}")
+    assert not failures, "; ".join(failures)
 
 
 def test_golden_rabi_map():

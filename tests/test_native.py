@@ -83,14 +83,19 @@ def test_env_var_disables_native(eta, monkeypatch):
     monkeypatch.setattr(native, "_TRIED", False)
 
 
-def test_native_rsvd_path_matches_numpy():
+def test_native_rsvd_path_matches_numpy(monkeypatch):
     """Parity at shapes that actually TRIGGER the finite builder's m-gated
     randomized-SVD path (ADVICE r4: the default chi_max=64 small-bath case
     never reaches the m > 2*(chi_max+32) gate, leaving the rsvd zip path
     untested against the all-exact numpy twin).  A weight-2 (biexciton-like)
     coupling at chi_max=24 fires the gate hundreds of times (stats.rsvd_n,
     counted in native pt_build2); observables must still match the numpy
-    builder to the truncation level."""
+    builder to the truncation level.
+
+    Since the r5 adjudication the finite path is ALL-EXACT by default (the
+    golden artifacts pin the exact path); the randomized zip is the
+    PYACEQD_TPU_NATIVE_RSVD=1 opt-in exercised here."""
+    monkeypatch.setenv("PYACEQD_TPU_NATIVE_RSVD", "1")
     J = spectral.QDPhononJ(ae=3.0)
     eta = spectral.eta_coefficients(J, 0.1, 24, 4.0)
     ev = np.array([0.0, 1.0, 1.0, 2.0])
