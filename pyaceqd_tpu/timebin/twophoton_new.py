@@ -565,7 +565,7 @@ class TwoPhotonTimebinNew(TimeBin):
 
     def eightops_phonon(self, rho0, operators, task, maps, early_only=False,
                         late_t1_only=False, pad_factor=1.0, bucket=256,
-                        hot_zones=None):
+                        hot_zones=None, slip_events=4):
         """Phonon-correct 8-operator four-time kernel: exact windowed-PT
         segments around every operator insertion, time-local map transport
         across the (memoryless) gaps.
@@ -711,44 +711,88 @@ class TwoPhotonTimebinNew(TimeBin):
             # tl transport up to each lane's window start (no-op lanes frozen)
             states = np.array(dynmap.masked_segment_runs(
                 maps, states, np.where(has, pos, 0), np.where(has, s0, 0)))
-            # exact-marginal baseline across the window span, and at the
-            # first event (for the slip correction below)
+            states_pre = states.copy()   # state at s0: TL baselines below
+            # exact-marginal baseline across the window span
             base = dynmap.masked_segment_runs(
                 maps, states, np.where(has, s0, 0), stop)
-            tlk1 = dynmap.masked_segment_runs(
-                maps, states, np.where(has, s0, 0),
-                np.where(has, first, 0).astype(np.int32))
             mks = np.where(sel, ks_all - s0[:, None], -1).astype(np.int32)
-            mk1 = np.where(has, first - s0, 0).astype(np.int32)
-            sig = np.zeros_like(states)
+            n_slot = ks_all.shape[1]
+            pt_marg = np.zeros((n_slot,) + states.shape, dtype=states.dtype)
             Lb = np.ceil(L / bucket).astype(int) * bucket
             for Lval in np.unique(Lb[has]):
                 m = has & (Lb == Lval)
                 # one stacked call: [with events | without events]; the
                 # difference is the insertion-induced deviation, with the
-                # factorized-restart slip cancelled (docstring)
+                # factorized-restart slip cancelled (docstring).  The
+                # no-event lanes also gather the marginal at EVERY event
+                # slot for the per-event slip correction below.
                 n_m = int(m.sum())
+                g_ev = np.broadcast_to(L[m][:, None], (n_m, n_slot + 1))
+                g_noev = np.concatenate(
+                    [np.where(mks[m] >= 0, mks[m], 0), L[m][:, None]], axis=1)
                 out = branched.windowed_pt_runs(
                     task, sops, (False,) * 4,
                     np.concatenate([states[m], states[m]]),
                     np.concatenate([s0[m], s0[m]]),
                     np.concatenate([mks[m], np.full_like(mks[m], -1)]),
-                    np.stack([np.concatenate([L[m], mk1[m]]),
-                              np.concatenate([L[m], L[m]])], axis=1),
+                    np.concatenate([g_ev, g_noev], axis=0).astype(np.int32),
                     int(Lval))
-                states[m] = base[m] + out[:n_m, 1, :] - out[n_m:, 1, :]
-                sig[m] = out[n_m:, 0, :] - tlk1[m]
+                states[m] = (base[m] + out[:n_m, n_slot, :]
+                             - out[n_m:, n_slot, :])
+                for j in range(n_slot):
+                    pt_marg[j][m] = out[n_m:, j, :]
                 pt_lane_steps += 2 * n_m * int(Lval)
-            # first-order slip correction: the slip present at the first
-            # event, transported through the event chain minus transported
-            # plainly — the leading term of D_ev - D_noev that the pairwise
-            # difference above cannot cancel (docstring; measured at the
-            # tb=20 referee: 3.4e-2 -> see tests)
+            # Per-event slip correction: the factorized restart's dressing
+            # slip s(k) = PT_noev(k) - TL(k) enters every event; the leading
+            # term of D_ev - D_noev the pairwise difference cannot cancel is
+            # sum_j [T_ev(k_j -> stop) - T_plain(k_j -> stop)] Delta_j with
+            # Delta_1 = s(k_1) (the full slip at the cluster's first event)
+            # and Delta_j = s(k_j) - T_plain(s(k_{j-1}), k_{j-1} -> k_j) for
+            # later events in the SAME cluster (the slip REGENERATED between
+            # consecutive events, which transporting only s(k_1) — the r4
+            # first-order correction, slip_events=1 — misses).  Every s(k_j)
+            # is measured exactly from the no-event window marginal; the tl
+            # maps approximate only the event-difference transport, which is
+            # second order.  Measured at the tb=20 EELL anchor: plain tl
+            # 2.7e-1, difference form 3.4e-2, slip_events=1 4.8e-3,
+            # slip_events=4 -> see tests/test_timebin.py.
             ks_ev = np.where(sel, ks_all, -(1 << 20)).astype(np.int32)
-            k1c = np.where(has, first, 0).astype(np.int32)
-            corr = (dynmap.masked_segment_runs(maps, sig, k1c, stop,
-                                               sops=sops, mto_ks=ks_ev)
-                    - dynmap.masked_segment_runs(maps, sig, k1c, stop))
+            zeros32 = np.zeros_like(pos)
+            prev_sig = None
+            prev_k = None
+            corr = np.zeros_like(states)
+            for j in range(min(slip_events, n_slot)):
+                used_j = sel[:, j] & has
+                if not np.any(used_j):
+                    continue
+                k_j = np.where(used_j, ks_all[:, j], 0).astype(np.int32)
+                tl_j = dynmap.masked_segment_runs(
+                    maps, states_pre, np.where(used_j, s0, zeros32),
+                    np.where(used_j, k_j, zeros32))
+                sig_j = np.where(used_j[:, None], pt_marg[j] - tl_j, 0.0)
+                if prev_sig is None:
+                    delta = sig_j
+                else:
+                    # same-cluster continuation: subtract the plainly
+                    # transported previous slip; cluster-first slots (newc)
+                    # keep the full slip
+                    carried = dynmap.masked_segment_runs(
+                        maps, prev_sig, np.where(used_j, prev_k, zeros32),
+                        np.where(used_j, k_j, zeros32))
+                    delta = np.where((used_j & ~newc[:, j])[:, None],
+                                     sig_j - carried, sig_j)
+                corr_j = (dynmap.masked_segment_runs(
+                              maps, delta, np.where(used_j, k_j, zeros32),
+                              np.where(used_j, stop, zeros32),
+                              sops=sops, mto_ks=ks_ev)
+                          - dynmap.masked_segment_runs(
+                              maps, delta, np.where(used_j, k_j, zeros32),
+                              np.where(used_j, stop, zeros32)))
+                corr = corr + np.where(used_j[:, None], corr_j, 0.0)
+                prev_sig = np.where(used_j[:, None], sig_j,
+                                    prev_sig if prev_sig is not None else 0.0)
+                prev_k = (k_j if prev_k is None
+                          else np.where(used_j, k_j, prev_k))
             states = states - np.where(has[:, None], corr, 0.0)
             pos = np.where(has, (s0 + L).astype(np.int32), pos)
 
