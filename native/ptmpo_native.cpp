@@ -1000,6 +1000,23 @@ int pt_build2(int n_steps, int n_mem, int G, int D, int w_eff,
     qr_sweep_lr(st.chain, seg);
     if (int(st.chain.size()) == n_mem) {
       Tensor Q = emit(st.chain);
+      // strip the accumulated global norm by a POWER OF TWO: without this
+      // the chain norm grows ~3x/step and >=1000-step horizons overflow
+      // float64 (inf -> zgesdd info=4 -> NaN tensors).  A power-of-two
+      // scale touches only float exponents, so every downstream
+      // SVD/QR/truncation decision is BIT-IDENTICAL to the unstripped
+      // build (golden parity preserved); an arbitrary-scalar strip
+      // measurably reshuffles near-threshold truncation cuts (9.2e-5).
+      {
+        Tensor& last = st.chain.back();
+        double s = 0.0;
+        for (const cplx& x : last.data) s += std::norm(x);
+        s = std::sqrt(s);
+        if (s > 0 && std::isfinite(s)) {
+          double inv = std::pow(2.0, -std::floor(std::log2(s)));
+          for (cplx& x : last.data) x *= inv;
+        }
+      }
       if (tile_tol > 0 && prevQ.a == Q.a && prevQ.g == Q.g
           && prevQ.b == Q.b) {
         double raw = 0.0;

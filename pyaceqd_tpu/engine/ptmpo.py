@@ -342,6 +342,18 @@ def build_pt_tensors(eta, nu, mu, n_steps, threshold=1e-8, chi_max=64,
         chain = _qr_sweep_lr(chain, start=seg)
         if len(chain) == n_mem:
             Q, chain = _emit(chain)
+            # strip the accumulated global norm by a POWER OF TWO: without
+            # this the raw chain norm grows ~3x/step and a >=1000-step
+            # finite build overflows float64 (inf -> zgesdd info=4 -> NaN
+            # tensors).  A power-of-two scale touches only float exponents,
+            # so every downstream SVD/QR/truncation decision is BIT-
+            # IDENTICAL to the unstripped build (measured: golden parity
+            # 2.1e-8 preserved) — an arbitrary-scalar strip is neutral only
+            # in exact arithmetic and measurably reshuffles near-threshold
+            # truncation cuts (9.2e-5 observable wobble, r4's _strip_norm)
+            s = float(np.linalg.norm(chain[-1]))
+            if s > 0 and np.isfinite(s):
+                chain[-1] = chain[-1] / 2.0 ** np.floor(np.log2(s))
             emitted.append(Q)
             if tile_tol and prev_Q is not None and Q.shape == prev_Q.shape:
                 raw = float(np.max(np.abs(Q - prev_Q)))
