@@ -763,7 +763,10 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
         fp_ok = "fingerprint" in z.files and str(z["fingerprint"]) == fp
         if (fp_ok and z["g_of_s"].shape == g_of_s.shape
                 and np.all(z["g_of_s"] == g_of_s)
-                and z["stack"].shape[0] >= n_steps):
+                and z["stack"].shape[0] >= n_steps
+                # reject poisoned artifacts (a pre-r5 overflowed build could
+                # cache inf/NaN tensors); rebuild instead of re-serving them
+                and np.all(np.isfinite(z["stack"]))):
             if verbose:
                 print("using pt cache " + path)
             pt = ProcessTensor(stack=z["stack"], caps=z["caps"],
@@ -793,6 +796,15 @@ def get_process_tensor(boson_op, dt, t_mem, ae, temperature, n_steps,
                                      threshold=thr, chi_max=chi_max,
                                      verbose=verbose, sector_norm=sector_norm)
     pt.basis = basis
+    # a non-finite build must fail LOUDLY here, never reach the cache: a
+    # poisoned .npz silently re-serves NaNs to every later run (measured:
+    # an overflowed 1000-step build pre-power-of-two-strip cached inf/NaN
+    # tensors and the rerun failed identically from the cache)
+    if not (np.all(np.isfinite(pt.stack)) and np.all(np.isfinite(pt.caps))):
+        raise FloatingPointError(
+            "finite PT build produced non-finite tensors (threshold %s, "
+            "chi_max %s, n_steps %d) — refusing to cache; report this "
+            "config" % (threshold, chi_max, n_steps))
     diagnostics.record_pt(
         engine="finite", chi=pt.chi, chi_max=chi_max,
         saturated=pt.chi >= cap_eff, capped=pt.capped, n_mem=pt.n_mem,
