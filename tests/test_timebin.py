@@ -196,8 +196,11 @@ def test_twophoton_tl_phonon_hybrid_vs_direct():
     _, _, eell_h, G12_h = tpb.eightops_phonon(rho0, ops_eell, task, maps,
                                               pad_factor=1.0, bucket=16)
     assert tpb._tlph_stats["n_windows_max"] >= 2  # really split, not merged
-    assert np.max(np.abs(G12_h - G12_d)) < 1e-2
-    assert abs(eell_h - eell_d) < 2e-3
+    # measured 4.78e-3 / 1.09e-3 (r5, per-event slip correction); the r4
+    # bound was 1e-2 — tightened per VERDICT r4 item 6.  tb=100 referee
+    # (scripts/tlph_referee.py 100 0.2): hybrid |dC| = 5.35e-4 vs tl 7.0e-3
+    assert np.max(np.abs(G12_h - G12_d)) < 6e-3
+    assert abs(eell_h - eell_d) < 1.5e-3
     # merged limit (every lane one window from step 0) must be PT-exact
     _, _, eell_m, G12_m = tpb.eightops_phonon(rho0, ops_eell, task, maps,
                                               pad_factor=50.0, bucket=16)
