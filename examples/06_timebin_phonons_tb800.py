@@ -95,6 +95,23 @@ print("PT diagnostics:", pyaceqd_tpu.format_pt_info())
 # twophoton_new.py:568-577).  It confirms the direct-PT number at the
 # accuracy the tl method supports; the direct (t1, t2) PT fan-out above
 # remains the quantitative engine with phonons.
+#
+# TLPH row (measured 2026-08-21, same thr-9 PT; `flagship06_convergence.py
+# tlph9::1e-6`): the phonon-correct hybrid (calc_densitymatrix_tl_phonon —
+# exact PT windows around every insertion + slip correction) gives
+# concurrence 0.5496 in 1679 s — only 3.8e-3 above tl, closing a tenth of
+# the 4.4e-2 gap, and SLOWER than this file's direct fan-out (342 s warm
+# PT): at tb=800 with gamma = 1/100 the per-cluster host-synced
+# map-transport calls dominate and the slowly-relaxing (100 ps) system
+# keeps the restart slip large, so the residual — the tl-transport error
+# of the slip correction itself, measured ~27% of the correction at the
+# tb=20 anchor — stays at the few-1e-2 level.  Where the hybrid DOES
+# discriminate: the tb=100 referee (gamma = 1/10, scripts/tlph_referee.py)
+# measures hybrid |dC| = 5.4e-4 vs direct where tl errs 7.0e-3, and the
+# quadrature-matched tb=20 G12 anchor 4.8e-3 vs tl's 2.9e-1.  For this
+# flagship (long storage, slow relaxation) the direct fan-out above is
+# BOTH the quantitative and the faster engine; the hybrid's regime is
+# mid-tb protocols with ordinary relaxation rates.
 # HISTORY: round 2 reported concurrence 0.1972 from a chi=13 stationary
 # build — an ARTIFACT of premature steady-state detection (the slow
 # n_mem=102 transient passed the lag-1 drift tolerance mid-transient and

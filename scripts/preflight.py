@@ -18,7 +18,6 @@ Usage: python scripts/preflight.py [--skip-tests] [--bench-json PATH]
 import glob
 import json
 import os
-import re
 import subprocess
 import sys
 import time
@@ -47,10 +46,9 @@ def latest_bench_json(explicit=None):
     cands = [p for p in glob.glob(os.path.join(REPO, "BENCH_*.json"))]
     if not cands:
         return None
-    def key(p):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        return (1, int(m.group(1))) if m else (2, os.path.getmtime(p))
-    return max(cands, key=key)
+    # most recent wins: a fresh local capture (BENCH_LOCAL.json) outranks a
+    # stale driver round file and vice versa
+    return max(cands, key=os.path.getmtime)
 
 
 def check_bench(path):
